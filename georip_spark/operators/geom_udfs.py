@@ -1,0 +1,159 @@
+"""Arrow-batched pandas UDFs wrapping the numpy geometry kernels.
+
+These are the ONLY places Python touches row data in the engine, and
+all of them sit *after* the cell-indexed equi-join has pruned
+candidates — i.e. they run on candidate pairs, not the cross product.
+Per-batch WKT parse results are memoized (the dim side repeats the
+same geometry across many candidate rows in a batch).
+
+Reference semantics: shapely `.intersects` / `.intersection` calls at
+georip/geoprocessing/mapping.py:259-261, sparse test at
+georip/geometry/polygons.py:357-408.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from georip_spark.geo import kernels, wkt
+
+_BOUNDS_SCHEMA = T.StructType(
+    [
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+        T.StructField("is_empty", T.BooleanType()),
+        T.StructField("is_valid", T.BooleanType()),
+        T.StructField("area", T.DoubleType()),
+    ]
+)
+
+
+def _memo_parse(series: pd.Series) -> list:
+    memo: dict[str, object] = {}
+    out = []
+    for s in series:
+        if s not in memo:
+            try:
+                memo[s] = wkt.parse_wkt(s)
+            except (ValueError, IndexError):
+                memo[s] = []
+        out.append(memo[s])
+    return out
+
+
+@pandas_udf(_BOUNDS_SCHEMA)
+def geom_bounds(geom_wkt: pd.Series) -> pd.DataFrame:
+    """WKT → (bounds, emptiness, cheap validity, area) in one pass."""
+    rows = []
+    for mp in _memo_parse(geom_wkt):
+        if not mp:
+            rows.append((np.nan, np.nan, np.nan, np.nan, True, False, 0.0))
+        else:
+            b = kernels.bounds(mp)
+            rows.append(
+                (*b, False, any(kernels.is_valid_polygon(p) for p in mp),
+                 kernels.multipolygon_area(mp))
+            )
+    return pd.DataFrame(
+        rows, columns=["minx", "miny", "maxx", "maxy", "is_empty", "is_valid", "area"]
+    )
+
+
+@pandas_udf(T.BooleanType())
+def rect_intersects(
+    geom_wkt: pd.Series, minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+) -> pd.Series:
+    """Exact tile-footprint ∩ geometry test (boundary-inclusive)."""
+    mps = _memo_parse(geom_wkt)
+    return pd.Series(
+        [
+            kernels.rect_intersects_multipolygon(mp, a, b, c, d)
+            for mp, a, b, c, d in zip(mps, minx, miny, maxx, maxy)
+        ]
+    )
+
+
+@pandas_udf(T.StringType())
+def clip_to_rect(
+    geom_wkt: pd.Series, minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+) -> pd.Series:
+    """geometry ∩ tile rect → WKT ('POLYGON EMPTY' when disjoint —
+    the reference's unmatched-tile row shape,
+    georip/geoprocessing/mapping.py:263-265)."""
+    mps = _memo_parse(geom_wkt)
+    return pd.Series(
+        [
+            wkt.to_wkt(kernels.clip_multipolygon_to_rect(mp, a, b, c, d))
+            for mp, a, b, c, d in zip(mps, minx, miny, maxx, maxy)
+        ]
+    )
+
+
+@pandas_udf(T.BooleanType())
+def is_sparse(geom_wkt: pd.Series) -> pd.Series:
+    return pd.Series([kernels.is_sparse_multipolygon(mp) for mp in _memo_parse(geom_wkt)])
+
+
+@pandas_udf(T.BooleanType())
+def contains_point(geom_wkt: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """Point-in-polygon (boundary-inclusive), vectorized per batch by
+    grouping points that share a geometry."""
+    df = pd.DataFrame({"g": geom_wkt, "x": x.astype(float), "y": y.astype(float)})
+    out = np.zeros(len(df), dtype=bool)
+    for g, grp in df.groupby("g", sort=False):
+        try:
+            mp = wkt.parse_wkt(g)
+        except (ValueError, IndexError):
+            mp = []
+        if mp:
+            out[grp.index] = kernels.points_in_multipolygon(
+                grp["x"].values, grp["y"].values, mp
+            )
+    return pd.Series(out)
+
+
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def clip_and_normalize(
+    geom_wkt: pd.Series,
+    minx: pd.Series,
+    miny: pd.Series,
+    maxx: pd.Series,
+    maxy: pd.Series,
+) -> pd.Series:
+    """Clip geometry to the tile rect and return the outer-shell
+    vertices of the largest clipped polygon normalized to tile pixel
+    space: [u0, v0, u1, v1, ...] with u = (x−minx)/w, v = (maxy−y)/h
+    (raster row axis points down). Rounded to 6 decimals — the
+    reference's normalize_point contract
+    (georip/geometry/__init__.py:96-145: round(…,6), clip to [0,1]).
+
+    Empty intersection → null (engine filters these).
+    """
+    mps = _memo_parse(geom_wkt)
+    out = []
+    for mp, a, b, c, d in zip(mps, minx, miny, maxx, maxy):
+        clipped = kernels.clip_multipolygon_to_rect(mp, a, b, c, d)
+        if not clipped:
+            out.append(None)
+            continue
+        best = max(clipped, key=kernels.polygon_area)
+        ring = best[0]
+        w, h = c - a, d - b
+        u = np.clip((ring[:, 0] - a) / w, 0.0, 1.0)
+        v = np.clip((d - ring[:, 1]) / h, 0.0, 1.0)
+        out.append(np.round(np.column_stack([u, v]).ravel(), 6).tolist())
+    return pd.Series(out, dtype=object)
+
+
+def geometry_stats(df, geom_col: str = "geometry"):
+    """Attach bounds/validity/area struct fields for ``geom_col``."""
+    return df.withColumn("_g", geom_bounds(F.col(geom_col))).select(
+        "*", "_g.minx", "_g.miny", "_g.maxx", "_g.maxy",
+        "_g.is_empty", "_g.is_valid", "_g.area",
+    ).drop("_g")

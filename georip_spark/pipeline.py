@@ -1,0 +1,187 @@
+"""End-to-end dataset pipeline (SURVEY.md §3.1 as one lazy DAG).
+
+Reference lifecycle (create_ndvi_difference_dataset,
+georip/datasets/models/tools.py:23-204): load vectors → year filter →
+tile rasters → spatial join tiles×truth → clip → class encode → label
+files. Here the whole thing is one declarative DataFrame graph:
+
+    rasters ──tile_grid──► tiles ──cell-join──► matched ──encode──►
+    labels ──assemble──► docs_out(doc_id, spans)
+
+The output docs table has the same schema as the input docs table
+(BASELINE.json input_hint); the per-row invariant checked by the
+test-suite is span-sequence equality (kind, text, media_ref, order)
+vs the pandas oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from georip_spark import functions as GF
+from georip_spark.operators import geom_udfs
+from georip_spark.operators.joins import (
+    DEFAULT_RES,
+    prepare_regions,
+    spatial_join_tiles_regions,
+)
+from georip_spark.operators.tiling import tile_grid
+
+DEFAULT_CLASSES = ("Treatment", "Background")
+
+
+def class_map(regions: DataFrame, keep_classes=DEFAULT_CLASSES) -> DataFrame:
+    """Distinct kept class names → contiguous ids; Background := −1
+    (get_mapped_classes, georip/modeling/yolo/__init__.py:142-174).
+    Tiny dim — always broadcast."""
+    from pyspark.sql.window import Window
+
+    names = (
+        regions.select("class_name")
+        .filter(F.col("class_name").isin(*keep_classes))
+        .filter(F.lower(F.col("class_name")) != "background")
+        .distinct()
+    )
+    w = Window.orderBy("class_name")
+    mapped = names.withColumn("class_id", F.row_number().over(w) - 1)
+    bg = regions.sparkSession.createDataFrame(
+        [("Background", -1)], "class_name string, class_id int"
+    )
+    return mapped.unionByName(bg)
+
+
+def build_labels(
+    tiles: DataFrame,
+    regions_prepared: DataFrame,
+    classes: DataFrame,
+    res: int = DEFAULT_RES,
+    salt: int | None = None,
+    broadcast_regions: bool | None = None,
+) -> DataFrame:
+    """Matched (tile × region) pairs → one label row per kept
+    annotation: class encoded, geometry clipped to the tile and
+    normalized to [0,1] tile space (rounded 6 — F5 contract), sparse
+    and Background rows dropped (A10/S12 empty-file semantics)."""
+    # derive (region, start_year, end_year) join keys from doc_id —
+    # the reference's filename-parse matching law (F2/J1)
+    tiles_keyed = tiles.select("*", *GF.parse_doc_id(F.col("doc_id")))
+    joined = spatial_join_tiles_regions(
+        tiles_keyed,
+        regions_prepared,
+        res=res,
+        how="inner",
+        clip=False,
+        salt=salt,
+        broadcast_regions=broadcast_regions,
+    )
+    # class filter (P4) before the expensive clip UDF
+    joined = joined.join(F.broadcast(classes), "class_name", "inner")
+    # invalid/empty geometry → Background (−1) per encode_classes
+    # (georip/datasets/utils.py:357-371)
+    joined = joined.withColumn(
+        "class_id",
+        F.when(~F.col("is_valid"), F.lit(-1)).otherwise(F.col("class_id")),
+    )
+    labeled = joined.filter(F.col("class_id") >= 0)
+    labeled = labeled.withColumn(
+        "coords",
+        geom_udfs.clip_and_normalize(
+            F.col("geometry"), F.col("minx"), F.col("miny"),
+            F.col("maxx"), F.col("maxy"),
+        ),
+    ).filter(F.col("coords").isNotNull())
+    # drop degenerate clipped slivers: reference prunes sparse
+    # intersections (gdf_intersects…non-sparsely,
+    # georip/geoprocessing/utils.py:190-262) — here the normalized
+    # ring must span area; a 2-point or zero-extent ring was already
+    # rejected by the clip kernel.
+    label_text = F.concat_ws(
+        " ",
+        F.col("class_id").cast("string"),
+        F.array_join(F.transform("coords", GF.fmt6), " "),
+    )
+    return labeled.withColumn("label", label_text)
+
+
+def assemble_docs(tiles: DataFrame, labels: DataFrame) -> DataFrame:
+    """Reassemble docs: per tile a media span followed by its label
+    text spans (sorted by class_id, geom_id — fixed W1 ordering), tiles
+    in row-major ordinal order, offsets re-enumerated 0..n−1.
+    Shuffle profile: one groupBy per level, both keyed on doc-local
+    keys — partial aggregation applies, and doc_id partitioning is
+    reusable downstream."""
+    # sort key (class_id, label) is reproducible in the oracle (geom_id
+    # is an engine-side xxhash64 the oracle can't recompute)
+    per_tile = labels.groupBy("doc_id", "media_ref", "ordinal").agg(
+        F.array_sort(
+            F.collect_list(F.struct("class_id", "label"))
+        ).alias("tl")
+    )
+    t = tiles.join(per_tile, ["doc_id", "media_ref", "ordinal"], "left")
+    t = t.withColumn(
+        "tile_spans",
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.col("media_ref").alias("media_ref"),
+                )
+            ),
+            F.coalesce(
+                F.transform(
+                    "tl",
+                    lambda x: F.struct(
+                        F.lit("text").alias("kind"),
+                        x["label"].alias("text"),
+                        F.col("media_ref").alias("media_ref"),
+                    ),
+                ),
+                F.array().cast("array<struct<kind:string,text:string,media_ref:string>>"),
+            ),
+        ),
+    )
+    docs = t.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ordinal"), F.col("tile_spans")))
+        ).alias("ordered")
+    )
+    flat = F.flatten(F.transform("ordered", lambda o: o["tile_spans"]))
+    spans = F.transform(
+        flat,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+def build_dataset(
+    rasters: DataFrame,
+    regions: DataFrame,
+    res: int = DEFAULT_RES,
+    keep_classes=DEFAULT_CLASSES,
+    salt: int | None = None,
+    broadcast_regions: bool | None = None,
+) -> dict[str, DataFrame]:
+    """The full forward pipeline. Returns every intermediate so tests
+    and jobs can tap any stage."""
+    tiles = tile_grid(rasters)
+    prepared = prepare_regions(regions, res=res)
+    classes = class_map(regions, keep_classes)
+    labels = build_labels(
+        tiles, prepared, classes, res=res, salt=salt,
+        broadcast_regions=broadcast_regions,
+    )
+    docs_out = assemble_docs(tiles, labels)
+    return {
+        "tiles": tiles,
+        "regions_prepared": prepared,
+        "classes": classes,
+        "labels": labels,
+        "docs_out": docs_out,
+    }

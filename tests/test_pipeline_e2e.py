@@ -1,0 +1,128 @@
+"""End-to-end parity: engine docs_out vs the pandas oracle.
+
+The correctness invariant (BASELINE.json input_hint): per-row
+span-sequence equality on (kind, text, media_ref, order).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from georip_spark import synth
+from georip_spark.oracle import pandas_ref
+from georip_spark.pipeline import build_dataset
+
+N_DOCS = 12
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rasters = synth.synth_rasters(spark, N_DOCS).cache()
+    regions = synth.synth_regions(spark, rasters, polys_per_doc=4).cache()
+    return rasters, regions
+
+
+@pytest.fixture(scope="module")
+def engine_out(spark, tiny):
+    rasters, regions = tiny
+    return build_dataset(rasters, regions)
+
+
+@pytest.fixture(scope="module")
+def oracle_out(tiny):
+    rasters, regions = tiny
+    rast_pd = rasters.toPandas()  # Arrow path yields dicts for structs
+    reg_pd = regions.toPandas()
+    tiles = pandas_ref.tile_grid_pd(rast_pd)
+    labels = pandas_ref.build_labels_pd(tiles, reg_pd)
+    docs = pandas_ref.assemble_docs_pd(tiles, labels)
+    return tiles, labels, docs
+
+
+def spans_from_engine(docs_out_df):
+    rows = docs_out_df.collect()
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+def test_tile_grid_parity(engine_out, oracle_out):
+    got = (
+        engine_out["tiles"]
+        .select("doc_id", "media_ref", "ordinal", "minx", "miny", "maxx", "maxy")
+        .toPandas()
+        .sort_values(["doc_id", "ordinal"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle_out[0][["doc_id", "media_ref", "ordinal", "minx", "miny", "maxx", "maxy"]]
+        .sort_values(["doc_id", "ordinal"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_span_sequence_equality(engine_out, oracle_out):
+    got = spans_from_engine(engine_out["docs_out"])
+    exp = oracle_out[2]
+    assert set(got) == set(exp), "doc_id sets differ"
+    for doc_id in sorted(exp):
+        assert got[doc_id] == exp[doc_id], (
+            f"span sequence mismatch for {doc_id}:\n"
+            f"engine={got[doc_id][:6]}...\noracle={exp[doc_id][:6]}..."
+        )
+
+
+def test_some_labels_produced(engine_out):
+    n = engine_out["labels"].count()
+    assert n > 0, "pipeline produced no labels — fixture degenerate"
+
+
+def test_offsets_contiguous(engine_out):
+    bad = (
+        engine_out["docs_out"]
+        .select(
+            F.exists(
+                F.transform(
+                    "spans", lambda s, i: s["offset"] != i.cast("int")
+                ),
+                lambda x: x,
+            ).alias("bad")
+        )
+        .filter("bad")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_parallelism_invariance(spark, tiny, engine_out):
+    """Same result at 1 shuffle partition vs 8 (order invariant)."""
+    rasters, regions = tiny
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        again = build_dataset(rasters, regions)
+        a = spans_from_engine(again["docs_out"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    b = spans_from_engine(engine_out["docs_out"])
+    assert a == b
+
+
+def test_salted_join_same_result(spark, tiny, engine_out):
+    rasters, regions = tiny
+    salted = build_dataset(rasters, regions, salt=4)
+    assert spans_from_engine(salted["docs_out"]) == spans_from_engine(
+        engine_out["docs_out"]
+    )
+
+
+def test_broadcast_join_same_result(spark, tiny, engine_out):
+    rasters, regions = tiny
+    bc = build_dataset(rasters, regions, broadcast_regions=True)
+    assert spans_from_engine(bc["docs_out"]) == spans_from_engine(
+        engine_out["docs_out"]
+    )
