@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship geospatial pipeline on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+family (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for each. Geospatial inputs are derived *deterministically* from
+the driver's parquet tables with arithmetic both engines compute
+identically (integer %, floor, IEEE doubles), so the DuckDB oracle
+can verify the engine's spatial operators with plain SQL.
+
+Column-name/type parity: every computed column is aliased identically
+on both sides; integral outputs are cast to long/BIGINT, money sums
+go through DECIMAL(18,6) before rounding.
 """
 
 from __future__ import annotations
@@ -12,27 +18,612 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# cell-index constants (georip_spark.geo.cells): id = res*2^58 + (ix+OFF)*2^29 + (iy+OFF)
+_OFF = 268435456          # 2^28
+_SH29 = 536870912         # 2^29
+_SH58 = 288230376151711744  # 2^58
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------
+# deterministic geospatial derivations (mirrored in the oracle SQL)
+# ---------------------------------------------------------------------
+
+def _rasters_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part rows → raster metadata (doc_id naming law, axis-aligned
+    affine). All arithmetic is integer %, floor and double mults that
+    DuckDB reproduces bit-for-bit."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.concat(F.lit("Part"), F.col("p_partkey").cast("string"),
+                 F.lit("_2019to2020_NDVI_Difference")).alias("doc_id"),
+        (F.lit(256) + (F.col("p_partkey") % 8) * 128).cast("int").alias("width"),
+        (F.lit(256) + (F.col("p_size") % 8) * 128).cast("int").alias("height"),
+        F.lit(128).cast("int").alias("tile_size"),
+        F.when(F.col("p_partkey") % 5 == 0, 64).otherwise(128).cast("int").alias("stride"),
+        F.struct(
+            F.lit(1.0).alias("a"), F.lit(0.0).alias("b"),
+            ((F.col("p_partkey") % 64) * 5000.0).alias("c"),
+            F.lit(0.0).alias("d"), F.lit(-1.0).alias("e"),
+            (F.floor(F.col("p_partkey") / 64) * 5000.0).alias("f"),
+        ).alias("transform"),
+    )
+
+
+_RASTERS_SQL = """
+    SELECT 'Part' || p_partkey || '_2019to2020_NDVI_Difference' AS doc_id,
+           CAST(256 + (p_partkey % 8) * 128 AS BIGINT)  AS width,
+           CAST(256 + (p_size % 8) * 128 AS BIGINT)     AS height,
+           CAST(128 AS BIGINT)                          AS tile_size,
+           CAST(CASE WHEN p_partkey % 5 = 0 THEN 64 ELSE 128 END AS BIGINT) AS stride,
+           (p_partkey % 64) * 5000.0                    AS tc,
+           CAST(FLOOR(p_partkey / 64) AS BIGINT) * 5000.0 AS tf
+    FROM part
+"""
+
+
+def _points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        ((F.col("event_id") * 37) % 5000).cast("double").alias("ex"),
+        ((F.col("user_id") * 53) % 5000).cast("double").alias("ey"),
+    )
+
+
+_POINTS_SQL = """
+    SELECT event_id,
+           CAST((event_id * 37) % 5000 AS DOUBLE) AS ex,
+           CAST((user_id * 53) % 5000 AS DOUBLE)  AS ey
+    FROM events
+"""
+
+
+def _rects_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 577) % 4000).cast("double").alias("rminx"),
+        ((F.col("s_suppkey") * 991) % 4000).cast("double").alias("rminy"),
+        (((F.col("s_suppkey") * 577) % 4000) + 300 + (F.col("s_suppkey") % 7) * 150)
+        .cast("double").alias("rmaxx"),
+        (((F.col("s_suppkey") * 991) % 4000) + 300 + (F.col("s_suppkey") % 5) * 150)
+        .cast("double").alias("rmaxy"),
+    )
+
+
+_RECTS_SQL = """
+    SELECT s_suppkey,
+           CAST((s_suppkey * 577) % 4000 AS DOUBLE) AS rminx,
+           CAST((s_suppkey * 991) % 4000 AS DOUBLE) AS rminy,
+           CAST((s_suppkey * 577) % 4000 + 300 + (s_suppkey % 7) * 150 AS DOUBLE) AS rmaxx,
+           CAST((s_suppkey * 991) % 4000 + 300 + (s_suppkey % 5) * 150 AS DOUBLE) AS rmaxy
+    FROM supplier
+"""
+
+
+def _supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 577) % 4000).cast("double").alias("sx"),
+        ((F.col("s_suppkey") * 991) % 4000).cast("double").alias("sy"),
+    )
+
+
+# ---------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4-family hash aggregation with partial+final combine (TPC-H
+    Q1 shape). Money math in DECIMAL for cross-engine exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+                      .cast("decimal(18,6)")), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return g
+
+
+_Q01_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J7-family multi-way equi-join with broadcast dims (P1 filter
+    pushdown). nation/region are broadcast by Catalyst (< threshold)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("o_orderstatus") != "F")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(dec), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q02_SQL = """
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus <> 'F'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+"""
+
+
+def q03_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: count + countDistinct + min/max per group."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("sum_value"),
+            F.round(F.min("value"), 6).cast("double").alias("min_value"),
+            F.round(F.max("value"), 6).cast("double").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q03_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value,
+           CAST(ROUND(MIN(value), 6) AS DOUBLE) AS min_value,
+           CAST(ROUND(MAX(value), 6) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q04_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: dropDuplicates on a column subset (exact dedup)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderstatus")
+        .dropDuplicates()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_Q04_SQL = """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q05_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: first-match-wins consumption via deterministic row_number
+    (the reference drops matched rows from its pool,
+    georip/geoprocessing/mapping.py:143-188)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+_Q05_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+    WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def q06_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3 + W5: top-3 per group with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+_Q06_SQL = """
+    SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders)
+    WHERE rank <= 3 ORDER BY o_orderpriority, rank
+"""
+
+
+def q07_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5: union + intersect + except (symmetric difference of
+    high-value and urgent orders)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    ur = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    both = hi.intersect(ur)
+    return hi.union(ur).distinct().exceptAll(both).orderBy("o_orderkey")
+
+
+_Q07_SQL = """
+    WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000),
+         ur AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT o_orderkey FROM (SELECT * FROM hi UNION SELECT * FROM ur)
+    EXCEPT ALL
+    SELECT o_orderkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM ur)
+    ORDER BY o_orderkey
+"""
+
+
+def q08_class_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/F13: distinct class names → contiguous ids (the class-map
+    builder, get_mapped_classes semantics minus the Background=-1
+    special which q-pipeline tests cover)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    return (
+        e.select("event_type").distinct()
+        .withColumn("class_id", (F.row_number().over(w) - 1).cast("long"))
+        .orderBy("event_type")
+    )
+
+
+_Q08_SQL = """
+    SELECT event_type,
+           CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS class_id
+    FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type
+"""
+
+
+def q09_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: the tiling operator — reference loop semantics (stride
+    steps, clamped edge tiles, row-major ordinals, pixel-offset tile
+    ids) as explode(sequence) column math."""
+    from georip_spark.operators.tiling import tile_grid
+
+    rasters = _rasters_from_part(spark, sf_dir)
+    return tile_grid(rasters).select(
+        "doc_id", "media_ref",
+        F.col("tile_row").cast("long").alias("tile_row"),
+        F.col("tile_col").cast("long").alias("tile_col"),
+        F.col("tile_w").cast("long").alias("tile_w"),
+        F.col("tile_h").cast("long").alias("tile_h"),
+        F.col("ordinal").cast("long").alias("ordinal"),
+        "minx", "miny", "maxx", "maxy",
+    ).orderBy("doc_id", "ordinal")
+
+
+_Q09_SQL = f"""
+    WITH r AS ({_RASTERS_SQL}),
+    g1 AS (SELECT *, unnest(generate_series(0, height - 1, stride)) AS tile_row FROM r),
+    g2 AS (SELECT *, unnest(generate_series(0, width - 1, stride)) AS tile_col FROM g1)
+    SELECT doc_id,
+           doc_id || '_tile_' || tile_row || '_' || tile_col AS media_ref,
+           tile_row, tile_col,
+           CASE WHEN tile_size < width - tile_col THEN tile_size ELSE width - tile_col END AS tile_w,
+           CASE WHEN tile_size < height - tile_row THEN tile_size ELSE height - tile_row END AS tile_h,
+           (tile_row // stride) * ((width + stride - 1) // stride) + (tile_col // stride) AS ordinal,
+           tc + tile_col * 1.0 AS minx,
+           tf - (tile_row + (CASE WHEN tile_size < height - tile_row THEN tile_size ELSE height - tile_row END)) * 1.0 AS miny,
+           tc + (tile_col + (CASE WHEN tile_size < width - tile_col THEN tile_size ELSE width - tile_col END)) * 1.0 AS maxx,
+           tf - tile_row * 1.0 AS maxy
+    FROM g2 ORDER BY doc_id, ordinal
+"""
+
+
+def q10_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J5: the cell-indexed point-in-polygon join — event points vs
+    supplier rectangles through the real spatial-join operator
+    (cover cells → equi-join → reference-point dedup → exact numpy
+    refinement). Oracle is a plain range-predicate join."""
+    from georip_spark.operators.joins import prepare_regions, spatial_join_tiles_regions
+
+    pts = _points_from_events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("media_ref"),
+        F.col("ex").alias("minx"), F.col("ey").alias("miny"),
+        F.col("ex").alias("maxx"), F.col("ey").alias("maxy"),
+    )
+    rects = _rects_from_supplier(spark, sf_dir).select(
+        "s_suppkey",
+        F.format_string(
+            "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            "rminx", "rminy", "rmaxx", "rminy", "rmaxx", "rmaxy",
+            "rminx", "rmaxy", "rminx", "rminy",
+        ).alias("geometry"),
+    )
+    prepared = prepare_regions(rects, res=11)
+    joined = spatial_join_tiles_regions(
+        pts, prepared, res=11, how="inner", on_years=False, clip=False,
+        broadcast_regions=True,
+    )
+    return joined.select(
+        F.col("media_ref").cast("long").alias("event_id"), "s_suppkey"
+    ).orderBy("event_id", "s_suppkey")
+
+
+_Q10_SQL = f"""
+    WITH p AS ({_POINTS_SQL}), r AS ({_RECTS_SQL})
+    SELECT event_id, s_suppkey
+    FROM p JOIN r ON ex BETWEEN rminx AND rmaxx AND ey BETWEEN rminy AND rmaxy
+    ORDER BY event_id, s_suppkey
+"""
+
+
+def q11_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: kNN via grid-disk candidate rings + windowed top-k with
+    brute-force fallback. k=3 nearest supplier points per event."""
+    from georip_spark.operators.joins import knn_join
+
+    # deterministic 1/5 sample keeps the candidate+fallback volume sane
+    # at every SF while exercising the full operator (oracle mirrors it)
+    left = _points_from_events(spark, sf_dir).filter(F.col("event_id") % 5 == 0)
+    right = _supplier_points(spark, sf_dir)
+    res = knn_join(
+        left, right, k=3, res=12, ring=1,
+        left_xy=("ex", "ey"), right_xy=("sx", "sy"),
+        left_key="event_id", right_key="s_suppkey",
+    )
+    return res.select(
+        "event_id", "s_suppkey",
+        F.round("dist", 6).alias("dist"),
+        F.col("rn").cast("long").alias("rank"),
+    ).orderBy("event_id", "rank")
+
+
+_Q11_SQL = f"""
+    WITH p0 AS ({_POINTS_SQL}),
+    p AS (SELECT * FROM p0 WHERE event_id % 5 = 0),
+    s AS (SELECT s_suppkey,
+                 CAST((s_suppkey * 577) % 4000 AS DOUBLE) AS sx,
+                 CAST((s_suppkey * 991) % 4000 AS DOUBLE) AS sy
+          FROM supplier),
+    d AS (SELECT event_id, s_suppkey,
+                 sqrt((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy)) AS dist
+          FROM p, s),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                 ORDER BY dist, s_suppkey) AS rn FROM d)
+    SELECT event_id, s_suppkey, ROUND(dist, 6) AS dist, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 3 ORDER BY event_id, rank
+"""
+
+
+def q12_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-index assignment (the H3-like packing) as pure column
+    math, aggregated per cell — the skew-visibility query."""
+    from georip_spark.geo.cells import cell_expr
+
+    pts = _points_from_events(spark, sf_dir)
+    return (
+        pts.select(cell_expr(F.col("ex"), F.col("ey"), 10))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("cell")
+    )
+
+
+_Q12_SQL = f"""
+    WITH p AS ({_POINTS_SQL})
+    SELECT CAST(10 * {_SH58} + (CAST(FLOOR(ex / 1024.0) AS BIGINT) + {_OFF}) * {_SH29}
+                + CAST(FLOOR(ey / 1024.0) AS BIGINT) + {_OFF} AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1 ORDER BY cell
+"""
+
+
+def q13_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 fingerprint groups over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("fingerprint"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+_Q13_SQL = """
+    SELECT md5(text) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: length / token count / punctuation
+    density per document (training-data pipeline op)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), "[^.,!?;:]", "")).cast("long").alias("n_punct"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))).cast("long").alias("n_spaces"),
+    ).orderBy("doc_id")
+
+
+_Q14_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q15_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search over the embeddings
+    table (ANN baseline). Query vector = embedding of vec_id 0.
+    Scores rounded to 4 before ranking so float32-accumulation noise
+    can't flip ranks between engines; ties broken by vec_id."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot, 4).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "vec_id", "score")
+        .orderBy("rank")
+    )
+
+
+_Q15_SQL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS score
+        FROM embeddings, q WHERE vec_id <> 0
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, score FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank FROM scored
+    ) WHERE rank <= 20 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tile part-derived rasters, PIP-join tile footprints
+    against supplier rectangles through the cell-indexed spatial join,
+    summarize per doc. Exercises tiling + cell cover + join + agg."""
+    from georip_spark.operators.joins import prepare_regions, spatial_join_tiles_regions
+    from georip_spark.operators.tiling import tile_grid
+
+    sf = SF_DEFAULT
+    tiles = tile_grid(_rasters_from_part(spark, sf))
+    # rects spread over the same CRS domain as the part-derived rasters
+    # (x origins step 5000 over 64 columns, y over rows) so the join
+    # actually matches across many docs
+    sup = _t(spark, sf, "supplier")
+    rects = sup.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 9973) % 320000).cast("double").alias("rminx"),
+        (((F.col("s_suppkey") * 331) % 24000) - 2000).cast("double").alias("rminy"),
+    ).select(
+        "s_suppkey",
+        F.format_string(
+            "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            F.col("rminx"), F.col("rminy"),
+            F.col("rminx") + 3000.0, F.col("rminy"),
+            F.col("rminx") + 3000.0, F.col("rminy") + 3000.0,
+            F.col("rminx"), F.col("rminy") + 3000.0,
+            F.col("rminx"), F.col("rminy"),
+        ).alias("geometry"),
+    )
+    joined = spatial_join_tiles_regions(
+        tiles, prepare_regions(rects, res=9), res=9, how="inner",
+        on_years=False, clip=True, broadcast_regions=True,
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.countDistinct("media_ref").cast("long").alias("n_tiles_matched"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_region_revenue": q02_region_revenue,
+        "q03_event_stats": q03_event_stats,
+        "q04_distinct_dedup": q04_distinct_dedup,
+        "q05_first_match": q05_first_match,
+        "q06_topk_per_group": q06_topk_per_group,
+        "q07_union_except": q07_union_except,
+        "q08_class_encode": q08_class_encode,
+        "q09_tile_grid": q09_tile_grid,
+        "q10_pip_join": q10_pip_join,
+        "q11_knn": q11_knn,
+        "q12_cell_assign": q12_cell_assign,
+        "q13_exact_dedup": q13_exact_dedup,
+        "q14_text_stats": q14_text_stats,
+        "q15_cosine_topk": q15_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_region_revenue": _Q02_SQL,
+        "q03_event_stats": _Q03_SQL,
+        "q04_distinct_dedup": _Q04_SQL,
+        "q05_first_match": _Q05_SQL,
+        "q06_topk_per_group": _Q06_SQL,
+        "q07_union_except": _Q07_SQL,
+        "q08_class_encode": _Q08_SQL,
+        "q09_tile_grid": _Q09_SQL,
+        "q10_pip_join": _Q10_SQL,
+        "q11_knn": _Q11_SQL,
+        "q12_cell_assign": _Q12_SQL,
+        "q13_exact_dedup": _Q13_SQL,
+        "q14_text_stats": _Q14_SQL,
+        "q15_cosine_topk": _Q15_SQL,
+    }

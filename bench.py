@@ -1,0 +1,86 @@
+"""Benchmark: headline queries + the flagship geospatial pipeline.
+
+Prints ONE JSON line:
+  {"metric": "spans_tiled_pip_joined_per_sec", "value": N,
+   "unit": "sec", "queries": {...}, "sf": 0.1}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+
+The headline metric matches BASELINE.json: spans tiled + PIP-joined
+per second on the synthetic interleaved-docs table. Doc count scales
+with SF (4000 × sf → 400 docs at SF=0.1), tiles/labels fan out from
+there (~30-170 tiles per doc).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    import georip_spark
+    import __spark_entry__ as entrymod
+    from georip_spark import synth
+    from georip_spark.pipeline import build_dataset
+
+    spark = georip_spark.get_spark("georip-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: synthetic interleaved-docs pipeline ----------------
+    # SF mapping: n_docs = 40000 × sf (SF=0.1 → 4000 docs ≈ 340k spans)
+    n_docs = max(4, int(40000 * sf))
+
+    def run_pipeline(n):
+        rasters = synth.synth_rasters(spark, n)
+        regions = synth.synth_regions(spark, rasters, polys_per_doc=3)
+        out = build_dataset(rasters, regions)
+        t0 = time.time()
+        stats = out["docs_out"].selectExpr(
+            "count(*) AS docs", "sum(size(spans)) AS spans"
+        ).collect()[0]
+        return int(stats["spans"]), time.time() - t0
+
+    run_pipeline(50)  # warm up JIT + Python workers (excluded, as on a
+    # long-running cluster executors and workers are already up)
+    n_spans, pipeline_sec = run_pipeline(n_docs)
+    timings["pipeline_build_dataset"] = round(pipeline_sec, 3)
+
+    # --- headline queries over driver testdata ------------------------
+    qs = entrymod.queries()
+    for name in (
+        "q01_pricing_summary", "q09_tile_grid", "q10_pip_join",
+        "q11_knn", "q13_exact_dedup", "q15_cosine_topk",
+    ):
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "spans_tiled_pip_joined_per_sec",
+        "value": round(n_spans / pipeline_sec, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_spans": n_spans,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -177,6 +177,93 @@ def clip_multipolygon_to_rect(mp: MultiPolygon, minx, miny, maxx, maxy) -> Multi
     return out
 
 
+def _segment_intersects_rects(x0, y0, x1, y1, minx, miny, maxx, maxy) -> np.ndarray:
+    """Liang–Barsky: does segment (x0,y0)-(x1,y1) hit each axis-aligned
+    rect? Vectorized over rect arrays; boundary-inclusive."""
+    dx, dy = x1 - x0, y1 - y0
+    u1 = np.zeros_like(minx)
+    u2 = np.ones_like(minx)
+    ok = np.ones(len(minx), dtype=bool)
+    for p, q in (
+        (-dx, x0 - minx),
+        (dx, maxx - x0),
+        (-dy, y0 - miny),
+        (dy, maxy - y0),
+    ):
+        if p == 0.0:
+            ok &= q >= 0.0
+        else:
+            t = q / p
+            if p < 0:
+                u1 = np.maximum(u1, t)
+            else:
+                u2 = np.minimum(u2, t)
+    return ok & (u1 <= u2)
+
+
+def rects_intersect_multipolygon(
+    mp: MultiPolygon,
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+) -> np.ndarray:
+    """Vectorized `.intersects` of ONE multipolygon against MANY
+    axis-aligned rects (the batch refinement kernel): true iff bboxes
+    overlap AND (a rect corner lies in the polygon ∨ a polygon vertex
+    lies in the rect ∨ a polygon edge crosses the rect). Complete for
+    polygons with holes: hole edges are tested like any edge, and the
+    corner test uses hole-aware PIP. Degenerate rects (points) reduce
+    to plain PIP."""
+    n = len(minx)
+    if not mp or n == 0:
+        return np.zeros(n, dtype=bool)
+    bminx, bminy, bmaxx, bmaxy = bounds(mp)
+    alive = (minx <= bmaxx) & (maxx >= bminx) & (miny <= bmaxy) & (maxy >= bminy)
+    out = np.zeros(n, dtype=bool)
+    if not alive.any():
+        return out
+    idx = np.nonzero(alive)[0]
+    mnx, mny, mxx, mxy = minx[idx], miny[idx], maxx[idx], maxy[idx]
+    hit = np.zeros(len(idx), dtype=bool)
+
+    # (1) polygon vertex inside rect
+    for poly in mp:
+        for ring in poly:
+            vx, vy = ring[:, 0], ring[:, 1]
+            hit |= (
+                (vx[:, None] >= mnx) & (vx[:, None] <= mxx)
+                & (vy[:, None] >= mny) & (vy[:, None] <= mxy)
+            ).any(axis=0)
+    # (2) rect corner (or center) inside polygon
+    todo = ~hit
+    if todo.any():
+        cx = np.concatenate([mnx[todo], mxx[todo], mxx[todo], mnx[todo]])
+        cy = np.concatenate([mny[todo], mny[todo], mxy[todo], mxy[todo]])
+        inmask = points_in_multipolygon(cx, cy, mp).reshape(4, -1).any(axis=0)
+        hit[np.nonzero(todo)[0][inmask]] = True
+    # (3) polygon edge crosses rect
+    todo = ~hit
+    if todo.any():
+        t_mnx, t_mny = mnx[todo], mny[todo]
+        t_mxx, t_mxy = mxx[todo], mxy[todo]
+        cross = np.zeros(int(todo.sum()), dtype=bool)
+        for poly in mp:
+            for ring in poly:
+                for i in range(len(ring) - 1):
+                    rem = ~cross
+                    if not rem.any():
+                        break
+                    cross[rem] |= _segment_intersects_rects(
+                        ring[i, 0], ring[i, 1], ring[i + 1, 0], ring[i + 1, 1],
+                        t_mnx[rem], t_mny[rem], t_mxx[rem], t_mxy[rem],
+                    )
+        hit[np.nonzero(todo)[0][cross]] = True
+
+    out[idx] = hit
+    return out
+
+
 def rect_intersects_multipolygon(mp: MultiPolygon, minx, miny, maxx, maxy) -> bool:
     """shapely-`.intersects` analog for rect vs multipolygon (boundary
     touch counts). Strategy: bbox reject → nonempty clip → boundary/

@@ -69,14 +69,27 @@ def geom_bounds(geom_wkt: pd.Series) -> pd.DataFrame:
 def rect_intersects(
     geom_wkt: pd.Series, minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
 ) -> pd.Series:
-    """Exact tile-footprint ∩ geometry test (boundary-inclusive)."""
-    mps = _memo_parse(geom_wkt)
-    return pd.Series(
-        [
-            kernels.rect_intersects_multipolygon(mp, a, b, c, d)
-            for mp, a, b, c, d in zip(mps, minx, miny, maxx, maxy)
-        ]
-    )
+    """Exact tile-footprint ∩ geometry test (boundary-inclusive).
+
+    Batched per distinct geometry: one WKT parse + one vectorized
+    numpy pass over all rects that share it (the dim side repeats
+    heavily in candidate batches), not a Python loop per row."""
+    df = pd.DataFrame({
+        "g": geom_wkt,
+        "a": minx.astype(float).values, "b": miny.astype(float).values,
+        "c": maxx.astype(float).values, "d": maxy.astype(float).values,
+    })
+    out = np.zeros(len(df), dtype=bool)
+    for g, grp in df.groupby("g", sort=False):
+        try:
+            mp = wkt.parse_wkt(g)
+        except (ValueError, IndexError):
+            mp = []
+        if mp:
+            out[grp.index] = kernels.rects_intersect_multipolygon(
+                mp, grp["a"].values, grp["b"].values, grp["c"].values, grp["d"].values
+            )
+    return pd.Series(out)
 
 
 @pandas_udf(T.StringType())
@@ -149,6 +162,16 @@ def clip_and_normalize(
         v = np.clip((d - ring[:, 1]) / h, 0.0, 1.0)
         out.append(np.round(np.column_stack([u, v]).ravel(), 6).tolist())
     return pd.Series(out, dtype=object)
+
+
+# The functions are pure, but marking them non-deterministic stops
+# Catalyst from (a) duplicating an Arrow eval when a filter or a
+# struct-field expansion references its output and (b) hoisting it
+# below joins that would feed it more rows — both observed in practice
+# (clip ran twice pre-class-filter; geom_bounds ran twice when its
+# struct was expanded into bbox + cover branches).
+clip_and_normalize = clip_and_normalize.asNondeterministic()
+geom_bounds = geom_bounds.asNondeterministic()
 
 
 def geometry_stats(df, geom_col: str = "geometry"):

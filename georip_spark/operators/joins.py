@@ -66,6 +66,7 @@ def spatial_join_tiles_regions(
     clip: bool = True,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
+    refine: bool = True,
 ) -> DataFrame:
     """Join tile footprints (bbox columns minx/miny/maxx/maxy +
     region/start_year/end_year keys) against prepared region geometries.
@@ -87,11 +88,20 @@ def spatial_join_tiles_regions(
 
     keys = ["region", "start_year", "end_year"] if on_years else []
 
-    build = g.select(
-        *keys, "geom_id", "class_name", "geometry",
-        "g_minx", "g_miny", "g_maxx", "g_maxy", "is_valid", "area",
-        F.explode("cover").alias("cell"),
-    )
+    # carry every region column through the join (geom_id, class_name,
+    # geometry, stats, plus any caller-supplied attribute columns);
+    # caller guarantees attribute names don't collide with tile columns
+    carry = [c for c in g.columns if c != "cover" and c not in keys]
+    build = g.select(*keys, *carry, F.explode("cover").alias("cell"))
+
+    # A broadcast join keeps the probe side's input partitioning; a
+    # small file (or coalesced scan) would funnel the whole candidate
+    # stream — and the Python refinement — through one task. Fan out
+    # under-parallel probes first; at real scale the scan already has
+    # thousands of splits and this is a no-op.
+    default_par = tiles.sparkSession.sparkContext.defaultParallelism
+    if tiles.rdd.getNumPartitions() < max(2, default_par // 2):
+        tiles = tiles.repartition(default_par)
 
     probe = tiles.withColumn(
         "cell",
@@ -117,6 +127,14 @@ def spatial_join_tiles_regions(
 
     cand = probe.join(build, on=join_keys, how="inner")
 
+    # JVM-side bbox prefilter: two bboxes sharing a cell often still
+    # don't overlap — kill those before anything touches Python. For
+    # rectangle geometries this is already the exact test.
+    cand = cand.filter(
+        (F.col("minx") <= F.col("g_maxx")) & (F.col("maxx") >= F.col("g_minx"))
+        & (F.col("miny") <= F.col("g_maxy")) & (F.col("maxy") >= F.col("g_miny"))
+    )
+
     # Reference-point dedup: keep the pair only in the cell that holds
     # the top-left corner of the bbox intersection → exactly-once per
     # pair with zero shuffle (vs dropDuplicates, which would shuffle
@@ -126,11 +144,15 @@ def spatial_join_tiles_regions(
     cand = cand.filter(F.col("cell") == cells.cell_expr(rp_x, rp_y, res))
 
     # Exact refinement — one Arrow batch over surviving candidates.
-    cand = cand.filter(
-        geom_udfs.rect_intersects(
-            F.col("geometry"), F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
+    # Callers that clip right after can pass refine=False: the clip
+    # kernel nulls empty intersections, subsuming this test and saving
+    # a Python stage.
+    if refine:
+        cand = cand.filter(
+            geom_udfs.rect_intersects(
+                F.col("geometry"), F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
+            )
         )
-    )
 
     tile_cols = [c for c in tiles.columns]
 
@@ -142,9 +164,9 @@ def spatial_join_tiles_regions(
         matched = cand.select("media_ref").distinct()
         return tiles.join(matched, "media_ref", "left_anti")
 
-    out = cand.select(
-        *tile_cols, "geom_id", "class_name", "geometry", "is_valid", "area"
-    )
+    out_carry = [c for c in carry if c not in ("g_minx", "g_miny", "g_maxx", "g_maxy",
+                                               "is_empty")]
+    out = cand.select(*tile_cols, *out_carry)
     if clip:
         out = out.withColumn(
             "clipped",
@@ -157,14 +179,15 @@ def spatial_join_tiles_regions(
         unmatched = tiles.join(
             cand.select("media_ref").distinct(), "media_ref", "left_anti"
         )
-        for c, t in (("geom_id", "long"), ("class_name", "string"),
-                     ("geometry", "string"), ("is_valid", "boolean"),
-                     ("area", "double")):
-            unmatched = unmatched.withColumn(c, F.lit(None).cast(t))
+        types = dict((f.name, f.dataType) for f in out.schema.fields)
+        for c in out_carry:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(types[c]))
         unmatched = unmatched.withColumn("geometry", F.lit("POLYGON EMPTY"))
         if clip:
             unmatched = unmatched.withColumn("clipped", F.lit("POLYGON EMPTY"))
-        out = out.unionByName(unmatched)
+            unmatched = unmatched.select(*out.columns)
+        out = out.unionByName(unmatched.select(*[c for c in out.columns if c in unmatched.columns]),
+                              allowMissingColumns=True)
     return out
 
 
@@ -196,45 +219,66 @@ def knn_join(
     """
     lx, ly = (F.col(c) for c in left_xy)
     rx, ry = (F.col(c) for c in right_xy)
+    from pyspark.sql.window import Window
 
-    r_cells = right.withColumn("cell", cells.cell_expr(rx, ry, res))
+    right = right.drop(*[c for c in left.columns if c in right.columns])
 
-    dx = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dx")
-    probe = left.select("*", dx)
-    dy = F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dy")
-    probe = probe.select("*", dy)
+    # Replicate the (small) RIGHT side into its grid_disk cells and
+    # leave the (large) probe side at one row per point — build-side
+    # replication costs |right|·(2·ring+1)², probe-side would cost
+    # |left|·(2·ring+1)². The candidate set is identical.
     s = float(cells.cell_size(res))
-    probe = probe.withColumn(
+    r_exp = right
+    for axis, col in (("_dx", rx), ("_dy", ry)):
+        r_exp = r_exp.withColumn(axis, F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+    r_exp = r_exp.withColumn(
         "cell",
-        cells.cell_expr(lx + F.col("dx") * F.lit(s), ly + F.col("dy") * F.lit(s), res),
-    ).drop("dx", "dy")
+        cells.cell_expr(rx + F.col("_dx") * F.lit(s), ry + F.col("_dy") * F.lit(s), res),
+    ).drop("_dx", "_dy")
 
-    cand = probe.join(r_cells.drop(*[c for c in left.columns if c in r_cells.columns]),
-                      "cell", "inner").drop("cell")
+    probe = left.withColumn("cell", cells.cell_expr(lx, ly, res))
+    cand = probe.join(r_exp, "cell", "inner").drop("cell")
 
     dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
     cand = cand.withColumn("dist", dist)
 
-    from pyspark.sql.window import Window
-
-    # deterministic tie-break on the right key so reruns and different
-    # parallelism levels pick identical neighbors (W1 ordering law)
+    # one shuffle, three window functions over the same partitioning:
+    # rank within neighborhood, neighborhood size, and the k-th
+    # candidate's distance — no recomputation of the candidate join.
+    #
+    # Exactness: any point within Euclidean distance ring·cell_size of
+    # the probe is guaranteed inside the Chebyshev grid_disk, so the
+    # disk's top-k is the TRUE top-k iff the k-th candidate lies within
+    # that radius. Neighborhoods failing the test (sparse areas) fall
+    # back to brute force.
     order = [F.col("dist").asc(), F.col(right_key).asc()]
-    w = Window.partitionBy(left_key).orderBy(*order)
-    ranked = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-
-    # fallback: left rows whose disk produced < k candidates get a
-    # brute-force pass (small by construction — choose `ring` so the
-    # typical neighborhood holds ≥ k features)
-    counts = ranked.groupBy(left_key).agg(F.count("*").alias("_n"))
-    sated = counts.filter(F.col("_n") >= k).select(left_key)
-    short = left.join(sated, left_key, "left_anti")
-    full = short.crossJoin(
-        F.broadcast(right.drop(*[c for c in left.columns if c in right.columns]))
+    wp = Window.partitionBy(left_key)
+    ranked = (
+        cand.withColumn("rn", F.row_number().over(wp.orderBy(*order)))
+        .withColumn("_n_cand", F.count("*").over(wp))
+        .withColumn(
+            "_kth",
+            F.max(F.when(F.col("rn") <= k, F.col("dist"))).over(wp),
+        )
     )
-    full = full.withColumn("dist", dist)
+    safe_r = float(ring) * s
+    keep = ranked.filter(
+        (F.col("rn") <= k) & (F.col("_n_cand") >= k) & (F.col("_kth") <= F.lit(safe_r))
+    ).drop("_n_cand", "_kth")
+    # keep feeds three consumers (output union, sated-key distinct,
+    # fallback anti-join); checkpoint the small top-k result so the
+    # big candidate join + window isn't executed three times
+    keep = keep.localCheckpoint(eager=False)
+
+    # fallback: left rows whose disk held < k candidates get one
+    # brute-force pass against the broadcast right side. Exact always;
+    # cheap when `ring`/`res` are sized so the typical neighborhood
+    # holds ≥ k features (AQE reuses the candidate exchange for the
+    # anti-join, so nothing is recomputed).
+    sated_keys = keep.select(left_key).distinct()
+    short = left.join(sated_keys, left_key, "left_anti")
+    full = short.crossJoin(F.broadcast(right)).withColumn("dist", dist)
     fw = Window.partitionBy(left_key).orderBy(*order)
     full_ranked = full.withColumn("rn", F.row_number().over(fw)).filter(F.col("rn") <= k)
 
-    keep = ranked.join(sated, left_key, "left_semi")
     return keep.unionByName(full_ranked, allowMissingColumns=True)

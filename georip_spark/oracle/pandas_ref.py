@@ -51,10 +51,9 @@ def tile_grid_pd(rasters: pd.DataFrame) -> pd.DataFrame:
 
 
 def class_map_pd(regions: pd.DataFrame, keep_classes=DEFAULT_CLASSES) -> dict[str, int]:
-    names = sorted(
-        set(regions["class_name"])
-        & set(keep_classes) - {"Background", "background"}
-    )
+    """Ids derive from the configured keep_classes (engine contract:
+    class_map is a driver-side dim, not a data scan)."""
+    names = sorted(n for n in keep_classes if n.lower() != "background")
     m = {n: i for i, n in enumerate(names)}
     m["Background"] = -1
     return m

@@ -34,21 +34,16 @@ DEFAULT_CLASSES = ("Treatment", "Background")
 def class_map(regions: DataFrame, keep_classes=DEFAULT_CLASSES) -> DataFrame:
     """Distinct kept class names → contiguous ids; Background := −1
     (get_mapped_classes, georip/modeling/yolo/__init__.py:142-174).
-    Tiny dim — always broadcast."""
-    from pyspark.sql.window import Window
 
-    names = (
-        regions.select("class_name")
-        .filter(F.col("class_name").isin(*keep_classes))
-        .filter(F.lower(F.col("class_name")) != "background")
-        .distinct()
+    The name universe is the *configured* keep_classes (a handful of
+    strings), so the map is built driver-side with zero Spark jobs and
+    broadcast into the join — at 10^12 docs a distinct-scan over the
+    fact table for a known dimension would be pure waste."""
+    names = sorted(n for n in keep_classes if n.lower() != "background")
+    rows = [(n, i) for i, n in enumerate(names)] + [("Background", -1)]
+    return regions.sparkSession.createDataFrame(
+        rows, "class_name string, class_id int"
     )
-    w = Window.orderBy("class_name")
-    mapped = names.withColumn("class_id", F.row_number().over(w) - 1)
-    bg = regions.sparkSession.createDataFrame(
-        [("Background", -1)], "class_name string, class_id int"
-    )
-    return mapped.unionByName(bg)
 
 
 def build_labels(
@@ -64,8 +59,14 @@ def build_labels(
     normalized to [0,1] tile space (rounded 6 — F5 contract), sparse
     and Background rows dropped (A10/S12 empty-file semantics)."""
     # derive (region, start_year, end_year) join keys from doc_id —
-    # the reference's filename-parse matching law (F2/J1)
-    tiles_keyed = tiles.select("*", *GF.parse_doc_id(F.col("doc_id")))
+    # the reference's filename-parse matching law (F2/J1); no-op if the
+    # caller already attached them
+    if "region" in tiles.columns:
+        tiles_keyed = tiles
+    else:
+        tiles_keyed = tiles.select("*", *GF.parse_doc_id(F.col("doc_id")))
+    # refine=False: the clip UDF below nulls empty intersections, so
+    # the separate exact-intersects Python pass would be redundant work
     joined = spatial_join_tiles_regions(
         tiles_keyed,
         regions_prepared,
@@ -74,6 +75,7 @@ def build_labels(
         clip=False,
         salt=salt,
         broadcast_regions=broadcast_regions,
+        refine=False,
     )
     # class filter (P4) before the expensive clip UDF
     joined = joined.join(F.broadcast(classes), "class_name", "inner")

@@ -194,3 +194,38 @@ class TestCells:
         p = cells.parent(c, 1)
         r, ix, iy = cells.unpack(p)
         assert (int(r), int(ix), int(iy)) == (9, 3, 2)
+
+
+class TestBatchIntersects:
+    """Vectorized rects_intersect_multipolygon must agree with the
+    scalar rect_intersects_multipolygon on randomized cases."""
+
+    def test_matches_scalar(self):
+        rng = np.random.default_rng(7)
+        polys = [
+            wkt.parse_wkt(SQ),
+            wkt.parse_wkt(TRI),
+            wkt.parse_wkt(HOLEY),
+            wkt.parse_wkt(MULTI),
+            wkt.parse_wkt("POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))"),
+        ]
+        for mp in polys:
+            minx = rng.uniform(-5, 12, 300)
+            miny = rng.uniform(-5, 12, 300)
+            w = rng.uniform(0, 6, 300)
+            h = rng.uniform(0, 6, 300)
+            maxx, maxy = minx + w, miny + h
+            got = kernels.rects_intersect_multipolygon(mp, minx, miny, maxx, maxy)
+            exp = np.array([
+                kernels.rect_intersects_multipolygon(mp, a, b, c, d)
+                for a, b, c, d in zip(minx, miny, maxx, maxy)
+            ])
+            assert (got == exp).all(), f"mismatch at {np.nonzero(got != exp)[0][:5]}"
+
+    def test_degenerate_points(self):
+        mp = wkt.parse_wkt(HOLEY)
+        px = np.array([5.0, 1.0, 20.0, 4.0])
+        py = np.array([5.0, 1.0, 20.0, 4.0])
+        got = kernels.rects_intersect_multipolygon(mp, px, py, px, py)
+        exp = kernels.points_in_multipolygon(px, py, mp)
+        assert (got == exp).all()
