@@ -544,6 +544,213 @@ _Q15_SQL = """
 
 
 # ---------------------------------------------------------------------
+# q16-q25: splits, dedup, text, similarity operators
+# ---------------------------------------------------------------------
+
+def q16_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/W5: per-class ratio split with seeded-hash ordering."""
+    from georip_spark.operators.splits import stratified_split
+
+    o = _t(spark, sf_dir, "orders")
+    split = stratified_split(o, "o_orderpriority", "o_orderkey", 0.7, 0.15)
+    return (
+        split.groupBy("o_orderpriority", "type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("o_orderpriority", "type")
+    )
+
+
+_Q16_SQL = """
+    WITH s AS (
+        SELECT o_orderpriority,
+               CASE WHEN rn * 1.0 / cnt <= 0.7 THEN 'train'
+                    WHEN rn * 1.0 / cnt <= 0.85 THEN 'val'
+                    ELSE 'test' END AS type
+        FROM (SELECT o_orderpriority,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                         ORDER BY md5(o_orderkey || '#42'), o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+              FROM orders)
+    )
+    SELECT o_orderpriority, type, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q17_alternating_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: cross-split duplicate resolution with alternating sides."""
+    from georip_spark.operators.splits import alternating_dedup_pairs
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    return alternating_dedup_pairs(a, b, "o_custkey").orderBy("o_custkey")
+
+
+_Q17_SQL = """
+    WITH dup AS (
+        SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+        INTERSECT
+        SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+    )
+    SELECT o_custkey,
+           CASE WHEN row_number() OVER (ORDER BY o_custkey) % 2 = 1 THEN 'a' ELSE 'b' END AS removed_from
+    FROM dup ORDER BY o_custkey
+"""
+
+
+def q18_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/O3: n = min(|background|, ratio*|truth|) seeded sample
+    (background = BUILDING segment, ratio = 0.5)."""
+    from georip_spark.operators.splits import shuffle_key
+
+    c = _t(spark, sf_dir, "customer")
+    bg = c.filter(F.col("c_mktsegment") == "BUILDING")
+    counts = c.agg(
+        F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)).alias("n_bg"),
+        F.sum(F.when(F.col("c_mktsegment") != "BUILDING", 1).otherwise(0)).alias("n_truth"),
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = bg.withColumn(
+        "rn", F.row_number().over(
+            W.orderBy(shuffle_key(F.col("c_custkey")), "c_custkey")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .filter(F.col("rn") <= F.least(F.col("n_bg"), F.floor(0.5 * F.col("n_truth"))))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+_Q18_SQL = """
+    WITH lims AS (
+        SELECT SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_bg,
+               SUM(CASE WHEN c_mktsegment <> 'BUILDING' THEN 1 ELSE 0 END) AS n_truth
+        FROM customer),
+    ranked AS (
+        SELECT c_custkey, row_number() OVER (ORDER BY md5(c_custkey || '#42'), c_custkey) AS rn
+        FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT c_custkey FROM ranked, lims
+    WHERE rn <= LEAST(n_bg, FLOOR(0.5 * n_truth)) ORDER BY c_custkey
+"""
+
+
+def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle → minhash → band →
+    bucket self-join). Pure column math; oracle recomputes the same
+    portable polynomial hashes in SQL."""
+    from georip_spark.operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        minhash_candidate_pairs(d, "doc_id", "text")
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q19_SQL = "\n    WITH codes AS (SELECT doc_id, list_transform(generate_series(0, greatest(length(text) - 8, 0), 4), i -> (CAST(unicode(substr(substr(text, i + 1, 8), 1, 1)) AS BIGINT) * 1 + CAST(unicode(substr(substr(text, i + 1, 8), 2, 1)) AS BIGINT) * 31 + CAST(unicode(substr(substr(text, i + 1, 8), 3, 1)) AS BIGINT) * 961 + CAST(unicode(substr(substr(text, i + 1, 8), 4, 1)) AS BIGINT) * 29791 + CAST(unicode(substr(substr(text, i + 1, 8), 5, 1)) AS BIGINT) * 923521 + CAST(unicode(substr(substr(text, i + 1, 8), 6, 1)) AS BIGINT) * 28629151 + CAST(unicode(substr(substr(text, i + 1, 8), 7, 1)) AS BIGINT) * 887503681 + CAST(unicode(substr(substr(text, i + 1, 8), 8, 1)) AS BIGINT) * 27512614111) % 2147483647) AS cs FROM documents),\n    sigs AS (SELECT doc_id, [list_min(list_transform(cs, c -> (c * 3 + 1) % 2147483647)), list_min(list_transform(cs, c -> (c * 5 + 6) % 2147483647)), list_min(list_transform(cs, c -> (c * 7 + 11) % 2147483647)), list_min(list_transform(cs, c -> (c * 9 + 16) % 2147483647)), list_min(list_transform(cs, c -> (c * 11 + 21) % 2147483647)), list_min(list_transform(cs, c -> (c * 13 + 26) % 2147483647)), list_min(list_transform(cs, c -> (c * 15 + 31) % 2147483647)), list_min(list_transform(cs, c -> (c * 17 + 36) % 2147483647)), list_min(list_transform(cs, c -> (c * 19 + 41) % 2147483647)), list_min(list_transform(cs, c -> (c * 21 + 46) % 2147483647)), list_min(list_transform(cs, c -> (c * 23 + 51) % 2147483647)), list_min(list_transform(cs, c -> (c * 25 + 56) % 2147483647)), list_min(list_transform(cs, c -> (c * 27 + 61) % 2147483647)), list_min(list_transform(cs, c -> (c * 29 + 66) % 2147483647)), list_min(list_transform(cs, c -> (c * 31 + 71) % 2147483647)), list_min(list_transform(cs, c -> (c * 33 + 76) % 2147483647))] AS sig FROM codes),\n    bands AS (SELECT doc_id, unnest(['0' || '_' || sig[1] || '_' || sig[2] || '_' || sig[3] || '_' || sig[4], '1' || '_' || sig[5] || '_' || sig[6] || '_' || sig[7] || '_' || sig[8], '2' || '_' || sig[9] || '_' || sig[10] || '_' || sig[11] || '_' || sig[12], '3' || '_' || sig[13] || '_' || sig[14] || '_' || sig[15] || '_' || sig[16]]) AS band FROM sigs)\n    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b\n    FROM bands a JOIN bands b USING (band)\n    WHERE a.doc_id < b.doc_id\n    GROUP BY 1, 2 ORDER BY 1, 2\n"
+
+
+def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for consecutive doc pairs."""
+    from georip_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("id_a"),
+        (F.col("doc_id") + 1).cast("long").alias("id_b"),
+    ).join(
+        d.select(F.col("doc_id").cast("long").alias("id_b")), "id_b", "left_semi"
+    )
+    return (
+        jaccard_pairs(d.withColumn("doc_id", F.col("doc_id").cast("long")),
+                      "doc_id", "text", pairs)
+        .orderBy("id_a")
+    )
+
+
+_Q20_SQL = '\n    WITH codes AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(length(text) - 8, 0), 4), i -> (CAST(unicode(substr(substr(text, i + 1, 8), 1, 1)) AS BIGINT) * 1 + CAST(unicode(substr(substr(text, i + 1, 8), 2, 1)) AS BIGINT) * 31 + CAST(unicode(substr(substr(text, i + 1, 8), 3, 1)) AS BIGINT) * 961 + CAST(unicode(substr(substr(text, i + 1, 8), 4, 1)) AS BIGINT) * 29791 + CAST(unicode(substr(substr(text, i + 1, 8), 5, 1)) AS BIGINT) * 923521 + CAST(unicode(substr(substr(text, i + 1, 8), 6, 1)) AS BIGINT) * 28629151 + CAST(unicode(substr(substr(text, i + 1, 8), 7, 1)) AS BIGINT) * 887503681 + CAST(unicode(substr(substr(text, i + 1, 8), 8, 1)) AS BIGINT) * 27512614111) % 2147483647)) AS cs FROM documents)\n    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,\n           ROUND(len(list_intersect(a.cs, b.cs)) * 1.0 /\n                 len(list_distinct(list_concat(a.cs, b.cs))), 6) AS jaccard\n    FROM codes a JOIN codes b ON b.doc_id = a.doc_id + 1\n    ORDER BY id_a\n'
+
+
+def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (token bit votes)."""
+    from georip_spark.operators.dedup import simhash_df
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        simhash_df(d, "doc_id", "text", bits=16)
+        .select(F.col("_id").cast("long").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+_Q21_SQL = "\n    WITH toks AS (SELECT doc_id,\n            list_transform(list_filter(string_split(text, ' '), t -> length(t) > 0),\n                           t -> ((CASE WHEN length(t) > 0 THEN CAST(unicode(substr(t, 1, 1)) AS BIGINT) ELSE 0 END) * 1 + (CASE WHEN length(t) > 1 THEN CAST(unicode(substr(t, 2, 1)) AS BIGINT) ELSE 0 END) * 31 + (CASE WHEN length(t) > 2 THEN CAST(unicode(substr(t, 3, 1)) AS BIGINT) ELSE 0 END) * 961 + (CASE WHEN length(t) > 3 THEN CAST(unicode(substr(t, 4, 1)) AS BIGINT) ELSE 0 END) * 29791 + (CASE WHEN length(t) > 4 THEN CAST(unicode(substr(t, 5, 1)) AS BIGINT) ELSE 0 END) * 923521 + (CASE WHEN length(t) > 5 THEN CAST(unicode(substr(t, 6, 1)) AS BIGINT) ELSE 0 END) * 28629151 + (CASE WHEN length(t) > 6 THEN CAST(unicode(substr(t, 7, 1)) AS BIGINT) ELSE 0 END) * 887503681 + (CASE WHEN length(t) > 7 THEN CAST(unicode(substr(t, 8, 1)) AS BIGINT) ELSE 0 END) * 27512614111) % 2147483647) AS tcs\n        FROM documents)\n    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST((CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 1) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 2) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 4) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 8) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 16) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 32) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 64) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 128) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 128 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 256) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 256 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 512) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 512 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 1024) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1024 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 2048) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 2048 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 4096) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 4096 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 8192) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 8192 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 16384) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 16384 ELSE 0 END) + (CASE WHEN list_sum(list_transform(tcs, c -> CASE WHEN (c // 32768) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash\n    FROM toks ORDER BY doc_id\n"
+
+
+def q22_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker hit argmax."""
+    from georip_spark.operators.text import predict_lang
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        predict_lang(F.col("text")).alias("predicted"),
+    ).orderBy("doc_id")
+
+
+_Q22_SQL = "\n    WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),\n    sc AS (SELECT doc_id, lang, (length(p) - length(replace(p, ' der ', ''))) // 5 + (length(p) - length(replace(p, ' und ', ''))) // 5 + (length(p) - length(replace(p, ' die ', ''))) // 5 + (length(p) - length(replace(p, ' ist ', ''))) // 5 AS s_de, (length(p) - length(replace(p, ' the ', ''))) // 5 + (length(p) - length(replace(p, ' and ', ''))) // 5 + (length(p) - length(replace(p, ' of ', ''))) // 4 + (length(p) - length(replace(p, ' is ', ''))) // 4 AS s_en, (length(p) - length(replace(p, ' el ', ''))) // 4 + (length(p) - length(replace(p, ' de ', ''))) // 4 + (length(p) - length(replace(p, ' que ', ''))) // 5 + (length(p) - length(replace(p, ' es ', ''))) // 4 AS s_es, (length(p) - length(replace(p, ' le ', ''))) // 4 + (length(p) - length(replace(p, ' la ', ''))) // 4 + (length(p) - length(replace(p, ' et ', ''))) // 4 + (length(p) - length(replace(p, ' est ', ''))) // 5 AS s_fr, (length(p) - length(replace(p, '的', ''))) // 1 + (length(p) - length(replace(p, '是', ''))) // 1 + (length(p) - length(replace(p, '了', ''))) // 1 + (length(p) - length(replace(p, '在', ''))) // 1 AS s_zh FROM p)\n    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CASE WHEN s_zh > GREATEST(GREATEST(GREATEST(GREATEST(0, s_de), s_en), s_es), s_fr) THEN 'zh' ELSE CASE WHEN s_fr > GREATEST(GREATEST(GREATEST(0, s_de), s_en), s_es) THEN 'fr' ELSE CASE WHEN s_es > GREATEST(GREATEST(0, s_de), s_en) THEN 'es' ELSE CASE WHEN s_en > GREATEST(0, s_de) THEN 'en' ELSE CASE WHEN s_de > 0 THEN 'de' ELSE 'und' END END END END END AS predicted\n    FROM sc ORDER BY doc_id\n"
+
+
+def q23_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/alpha/punctuation heuristic in [0,1]."""
+    from georip_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_Q23_SQL = "\n    SELECT CAST(doc_id AS BIGINT) AS doc_id,\n           ROUND(LEAST(length(text) / 200.0, 1.0)\n                 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / GREATEST(length(text), 1))\n                 * (1.0 - LEAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0\n                                / GREATEST(length(text), 1) * 10.0, 1.0) * 0.5), 6) AS quality\n    FROM documents ORDER BY doc_id\n"
+
+
+def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: 8-plane LSH bucket join + exact
+    cosine verification within buckets."""
+    from georip_spark.operators.similarity import lsh_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        lsh_neardup_pairs(e, "vec_id", "embedding", threshold=-1.0, n_planes=8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q24_SQL = '\n    WITH sigs AS (SELECT vec_id, embedding, CAST((CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((0) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((31) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((62) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((93) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((124) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((155) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((186) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((217) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 128 ELSE 0 END) AS BIGINT) AS sig FROM embeddings),\n    pairs AS (\n        SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),\n                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))\n                 / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))\n                  * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS cosine\n        FROM sigs a JOIN sigs b USING (sig) WHERE a.vec_id < b.vec_id)\n    SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b\n'
+
+
+def q25_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprint."""
+    from georip_spark.operators.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_Q25_SQL = '\n    SELECT CAST(doc_id AS BIGINT) AS doc_id,\n           list_min(list_transform(generate_series(0, greatest(length(text) - 16, 0), 8),\n               i -> (CAST(unicode(substr(text, i + 1 + 0, 1)) AS BIGINT) * 1 + CAST(unicode(substr(text, i + 1 + 2, 1)) AS BIGINT) * 31 + CAST(unicode(substr(text, i + 1 + 4, 1)) AS BIGINT) * 961 + CAST(unicode(substr(text, i + 1 + 6, 1)) AS BIGINT) * 29791 + CAST(unicode(substr(text, i + 1 + 8, 1)) AS BIGINT) * 923521 + CAST(unicode(substr(text, i + 1 + 10, 1)) AS BIGINT) * 28629151 + CAST(unicode(substr(text, i + 1 + 12, 1)) AS BIGINT) * 887503681 + CAST(unicode(substr(text, i + 1 + 14, 1)) AS BIGINT) * 27512614111) % 2147483647)) AS fingerprint\n    FROM documents ORDER BY doc_id\n'
+
+
+# ---------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------
 
@@ -606,6 +813,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_exact_dedup": q13_exact_dedup,
         "q14_text_stats": q14_text_stats,
         "q15_cosine_topk": q15_cosine_topk,
+        "q16_stratified_split": q16_stratified_split,
+        "q17_alternating_dedup": q17_alternating_dedup,
+        "q18_seeded_sample": q18_seeded_sample,
+        "q19_minhash_pairs": q19_minhash_pairs,
+        "q20_ngram_jaccard": q20_ngram_jaccard,
+        "q21_simhash": q21_simhash,
+        "q22_langid": q22_langid,
+        "q23_quality_score": q23_quality_score,
+        "q24_embedding_neardup": q24_embedding_neardup,
+        "q25_rolling_fingerprint": q25_rolling_fingerprint,
     }
 
 
@@ -626,4 +843,14 @@ def oracle_sql() -> dict[str, str]:
         "q13_exact_dedup": _Q13_SQL,
         "q14_text_stats": _Q14_SQL,
         "q15_cosine_topk": _Q15_SQL,
+        "q16_stratified_split": _Q16_SQL,
+        "q17_alternating_dedup": _Q17_SQL,
+        "q18_seeded_sample": _Q18_SQL,
+        "q19_minhash_pairs": _Q19_SQL,
+        "q20_ngram_jaccard": _Q20_SQL,
+        "q21_simhash": _Q21_SQL,
+        "q22_langid": _Q22_SQL,
+        "q23_quality_score": _Q23_SQL,
+        "q24_embedding_neardup": _Q24_SQL,
+        "q25_rolling_fingerprint": _Q25_SQL,
     }

@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, and n-gram Jaccard — all as pure Catalyst
+column math (higher-order functions over arrays; zero Python UDFs),
+so the fingerprinting runs inside whole-stage codegen and the only
+shuffles are the final band-bucket / pair joins.
+
+Hashing is a polynomial rolling hash over Unicode code points with
+explicit modulus — deliberately engine-portable (reproducible in any
+SQL engine; Spark's xxhash64 would not be), which is also what lets
+the DuckDB oracle verify these operators bit-for-bit.
+
+Scale notes: at 10^12 docs the minhash signature is a narrow
+fixed-width projection computed in the scan stage; the band-bucket
+equi-join is the classic LSH shuffle, band keys are near-uniform by
+construction (hash buckets), and candidate verification (exact
+jaccard) touches only bucket collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 2147483647  # 2^31 − 1 (Mersenne prime)
+SHINGLE_LEN = 8
+SHINGLE_STRIDE = 4
+MINHASH_K = 16
+BANDS = 4  # 4 bands × 4 rows
+
+# fixed affine hash family (a_h·x + b_h) mod MOD — small odd constants
+# keep a_h·x < 2^63 (x < 2^31, a < 2^9)
+_HASH_A = [2 * h + 3 for h in range(MINHASH_K)]
+_HASH_B = [5 * h + 1 for h in range(MINHASH_K)]
+
+
+def shingle_codes(text: Column) -> Column:
+    """text → array<long> of polynomial codes of its length-8
+    character shingles taken every 4 chars.
+
+    code(s) = Σ_{j=0..7} cp(s[j]) · 31^j  (mod 2^31−1), cp = Unicode
+    code point. Max pre-mod value 8·0x10FFFF·31^7 < 2^63 — no
+    overflow, so Spark and any SQL oracle agree exactly.
+    """
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text) - SHINGLE_LEN, F.lit(0)),
+        F.lit(SHINGLE_STRIDE),
+    )
+    def code(i: Column) -> Column:
+        sh = F.substring(text, i + 1, SHINGLE_LEN)
+        total = F.lit(0).cast("long")
+        for j in range(SHINGLE_LEN):
+            total = total + F.ascii(F.substring(sh, j + 1, 1)).cast("long") * F.lit(31 ** j)
+        return total % F.lit(MOD)
+
+    return F.transform(starts, code)
+
+
+def _affine_hash(a: int, b: int):
+    # factory, not default-arg lambda: PySpark infers lambda arity from
+    # the parameter count, so `lambda c, a=a: ...` would read as 2-ary
+    return lambda c: (c * F.lit(a) + F.lit(b)) % F.lit(MOD)
+
+
+def minhash_signature(codes: Column) -> Column:
+    """array<long> codes → array<long>[K] minhash signature."""
+    sig = [
+        F.array_min(F.transform(codes, _affine_hash(a, b)))
+        for a, b in zip(_HASH_A, _HASH_B)
+    ]
+    return F.array(*sig)
+
+
+def band_keys(sig: Column) -> Column:
+    """Signature → array<string>[BANDS] of band bucket keys (the LSH
+    grouping keys). rows_per_band = K / BANDS."""
+    rpb = MINHASH_K // BANDS
+    bands = []
+    for b in range(BANDS):
+        parts = [sig[b * rpb + r].cast("string") for r in range(rpb)]
+        bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
+    return F.array(*bands)
+
+
+def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, h0..h15) minhash signatures via explode + hash-aggregate.
+
+    Why not one expression per hash over the codes array: Catalyst's
+    CollapseProject inlines the codes sub-expression into every
+    array_min, recomputing the shingle polynomial K times. Exploding
+    to (id, code) rows and taking K mins in ONE groupBy evaluates each
+    code once, and partial (map-side) aggregation reduces the shuffle
+    to K longs per doc — the formulation that survives 10^12 docs.
+    """
+    codes = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_codes(F.col(text_col))).alias("c"),
+    )
+    aggs = [
+        F.min((F.col("c") * F.lit(a) + F.lit(b)) % F.lit(MOD)).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
+    ]
+    return codes.groupBy("_id").agg(*aggs)
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing ≥1 band bucket.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Plan shape: scan → explode shingles → partial+final hash agg →
+    band keys → explode bands → shuffle on band key (uniform) →
+    per-bucket self-pairs → distinct.
+    """
+    rpb = MINHASH_K // BANDS
+    sig_df = minhash_signatures_df(df, id_col, text_col)
+    bands = []
+    for b in range(BANDS):
+        parts = [F.col(f"h{b * rpb + r}").cast("string") for r in range(rpb)]
+        bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
+    sigs = sig_df.select("_id", F.explode(F.array(*bands)).alias("band"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Exact n-gram Jaccard verification for candidate pairs:
+    |A∩B| / |A∪B| over distinct shingle-code sets."""
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingle_codes(F.col(text_col))).alias("_set"),
+    )
+    j = (
+        pairs.join(sets_df.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
+        .join(sets_df.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "set_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def _token_codes(text: Column) -> Column:
+    """Whitespace tokens → polynomial codes (first 8 chars)."""
+    tokens = F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+
+    def tok_code(t: Column) -> Column:
+        total = F.lit(0).cast("long")
+        for j in range(8):
+            total = total + F.ascii(F.substring(t, j + 1, 1)).cast("long") * F.lit(31 ** j)
+        return total % F.lit(MOD)
+
+    return F.transform(tokens, tok_code)
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) SimHash fingerprints: per-token polynomial codes
+    vote ±1 on each bit; bit set iff vote sum > 0.
+
+    Same explode + single-groupBy shape as minhash_signatures_df (one
+    token-code evaluation, `bits` partial-aggregated sums), instead of
+    `bits` F.aggregate folds that would each recompute the codes."""
+    codes = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_token_codes(F.col(text_col))).alias("c"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("c"), b) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = codes.groupBy("_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("_id", fp.alias("simhash"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groups with keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
