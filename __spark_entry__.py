@@ -750,6 +750,94 @@ def q25_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q25_SQL = '\n    SELECT CAST(doc_id AS BIGINT) AS doc_id,\n           list_min(list_transform(generate_series(0, greatest(length(text) - 16, 0), 8),\n               i -> (CAST(unicode(substr(text, i + 1 + 0, 1)) AS BIGINT) * 1 + CAST(unicode(substr(text, i + 1 + 2, 1)) AS BIGINT) * 31 + CAST(unicode(substr(text, i + 1 + 4, 1)) AS BIGINT) * 961 + CAST(unicode(substr(text, i + 1 + 6, 1)) AS BIGINT) * 29791 + CAST(unicode(substr(text, i + 1 + 8, 1)) AS BIGINT) * 923521 + CAST(unicode(substr(text, i + 1 + 10, 1)) AS BIGINT) * 28629151 + CAST(unicode(substr(text, i + 1 + 12, 1)) AS BIGINT) * 887503681 + CAST(unicode(substr(text, i + 1 + 14, 1)) AS BIGINT) * 27512614111) % 2147483647)) AS fingerprint\n    FROM documents ORDER BY doc_id\n'
 
 
+def q26_payload_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/A8/F12: min-max payload normalization with nodata handling —
+    per-doc stats of the normalized synthetic payload. Payload values
+    are pure arithmetic on (doc key, pixel index) so the oracle
+    regenerates them in SQL."""
+    from georip_spark.operators.rastervec import normalize_payload_pandas
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    p2 = p.select(
+        "p_partkey",
+        F.expr(
+            "transform(sequence(0, 255), i -> CASE WHEN pmod(p_partkey * 7 + i * 13, 97) < 5 "
+            "THEN CAST(-9999.0 AS DOUBLE) "
+            "ELSE CAST(pmod(p_partkey * 2654435761 + i * 40503, 1048576) / 1048576.0 * 2.0 - 1.0 AS DOUBLE) END)"
+        ).alias("payload"),
+    )
+    normed = p2.select(
+        "p_partkey",
+        normalize_payload_pandas(F.col("payload"), F.lit(-9999.0)).alias("norm"),
+    )
+    return normed.select(
+        "p_partkey",
+        F.round(F.array_min(F.filter("norm", lambda v: v.isNotNull())), 6).alias("norm_min"),
+        F.round(F.array_max(F.filter("norm", lambda v: v.isNotNull())), 6).alias("norm_max"),
+        F.round(
+            F.aggregate(
+                F.filter("norm", lambda v: v.isNotNull()),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double"),
+            ), 4
+        ).alias("norm_sum"),
+        F.size(F.filter("norm", lambda v: v.isNull())).cast("long").alias("n_nodata"),
+    ).orderBy("p_partkey")
+
+
+_Q26_SQL = """
+    WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 20 = 0),
+    pay AS (SELECT p_partkey,
+            list_transform(generate_series(0, 255), i ->
+                CASE WHEN (p_partkey * 7 + i * 13) % 97 < 5 THEN CAST(-9999.0 AS DOUBLE)
+                     ELSE CAST((p_partkey * 2654435761 + i * 40503) % 1048576 / 1048576.0 * 2.0 - 1.0 AS DOUBLE) END
+            ) AS payload FROM p),
+    st AS (SELECT p_partkey, payload,
+                  list_min(list_filter(payload, v -> v <> -9999.0)) AS lo,
+                  list_max(list_filter(payload, v -> v <> -9999.0)) AS hi
+           FROM pay),
+    nm AS (SELECT p_partkey,
+                  list_transform(list_filter(payload, v -> v <> -9999.0),
+                                 v -> CASE WHEN hi = lo THEN 0.0 ELSE (v - lo) / (hi - lo) END) AS norm,
+                  len(list_filter(payload, v -> v = -9999.0)) AS n_nodata
+           FROM st)
+    SELECT p_partkey,
+           ROUND(list_min(norm), 6) AS norm_min,
+           ROUND(list_max(norm), 6) AS norm_max,
+           ROUND(list_sum(norm), 4) AS norm_sum,
+           CAST(n_nodata AS BIGINT) AS n_nodata
+    FROM nm ORDER BY p_partkey
+"""
+
+
+def q27_vectorize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2 vectorize: above-threshold region polygons per payload —
+    genuinely non-SQL (connected components + boundary tracing), so no
+    oracle entry (driver records the weaker rows-only check; exact
+    semantics are pytest-verified against rasterize roundtrips)."""
+    from georip_spark.operators.rastervec import vectorize_payload
+    from georip_spark.operators import geom_udfs
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    p2 = p.select(
+        "p_partkey",
+        F.expr(
+            "transform(sequence(0, 255), i -> "
+            "CAST(pmod(p_partkey * 2654435761 + i * 40503, 1048576) / 1048576.0 AS FLOAT))"
+        ).alias("payload"),
+    )
+    vec = p2.select(
+        "p_partkey",
+        vectorize_payload(F.col("payload"), F.lit(16), F.lit(0.5)).alias("geometry"),
+    )
+    stats = geom_udfs.geometry_stats(vec, "geometry")
+    return stats.select(
+        "p_partkey",
+        F.round("area", 2).alias("area"),
+        F.col("is_empty"),
+    ).orderBy("p_partkey")
+
+
 # ---------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------
@@ -823,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_quality_score": q23_quality_score,
         "q24_embedding_neardup": q24_embedding_neardup,
         "q25_rolling_fingerprint": q25_rolling_fingerprint,
+        "q26_payload_normalize": q26_payload_normalize,
+        "q27_vectorize_payload": q27_vectorize_payload,
     }
 
 
@@ -853,4 +943,5 @@ def oracle_sql() -> dict[str, str]:
         "q23_quality_score": _Q23_SQL,
         "q24_embedding_neardup": _Q24_SQL,
         "q25_rolling_fingerprint": _Q25_SQL,
+        "q26_payload_normalize": _Q26_SQL,
     }

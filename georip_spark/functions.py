@@ -48,10 +48,12 @@ def parse_doc_id(doc_id: Column) -> list[Column]:
     region = F.when(expanded, F.concat(parts[0], F.lit("E"))).otherwise(parts[0])
     years_raw = F.when(expanded, parts[2]).otherwise(parts[1])
     years = F.split(years_raw, "to|-")
+    # try_cast: ANSI mode would throw on malformed doc_ids; the
+    # reference's year validation coerces + drops (P6)
     return [
         region.alias("region"),
-        years[0].cast("int").alias("start_year"),
-        years[1].cast("int").alias("end_year"),
+        years[0].try_cast("int").alias("start_year"),
+        years[1].try_cast("int").alias("end_year"),
     ]
 
 

@@ -1,0 +1,168 @@
+"""Spatial dissolve / merge-overlapping-geometries (SURVEY.md J6/A7).
+
+The reference merges geometries whose buffer(8)s intersect with an
+O(n²) nested-loop self-join, then dissolves via global unary_union
+and re-attaches attributes from the first intersecting row
+(georip/utils/pandas.py:93-186). At scale that is:
+
+    1. candidate pairs: cell-indexed self-join on buffered bboxes
+       (equi-join on shared cover cells + bbox-distance refinement)
+    2. connected components: iterative min-label propagation over the
+       pair graph (hash-join per round, O(log n) rounds — the
+       standard large-graph CC pattern without GraphFrames)
+    3. per-component merge: grouped aggregation; geometry union is a
+       per-component MultiPolygon assembly via grouped pandas UDF
+
+Note on union semantics: shapely's unary_union rewrites overlapping
+boundaries into a single polygon; this engine (no shapely, numpy-only
+kernels) represents the dissolved component as the MultiPolygon of
+its members. Component membership, attribute inheritance (first row
+by deterministic order — the reference's first-intersecting-match,
+georip/utils/pandas.py:128-131) and counts match the reference;
+boundary rewriting is a documented deviation (tracked for a
+Martinez-Rueda clipping kernel in a later round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from georip_spark.geo import cells
+from georip_spark.operators.joins import prepare_regions
+
+
+def overlap_pairs(
+    prepared: DataFrame,
+    buffer: float = 8.0,
+    res: int = 10,
+) -> DataFrame:
+    """Candidate overlap pairs (geom_id_a < geom_id_b) whose buffered
+    bboxes intersect — the reference's buffer(8)-intersects proximity
+    test (georip/utils/pandas.py:133-134) evaluated on bboxes.
+
+    Cell-indexed: explode buffered covers, equi-join on cell,
+    reference-point dedup, bbox-distance refinement. No O(n²)."""
+    g = prepared.filter(~F.col("is_empty")).select(
+        "geom_id",
+        (F.col("minx") - buffer).alias("bminx"),
+        (F.col("miny") - buffer).alias("bminy"),
+        (F.col("maxx") + buffer).alias("bmaxx"),
+        (F.col("maxy") + buffer).alias("bmaxy"),
+    )
+    e = g.withColumn(
+        "cell",
+        F.explode(
+            cells.cover_bbox_expr(
+                F.col("bminx"), F.col("bminy"), F.col("bmaxx"), F.col("bmaxy"), res
+            )
+        ),
+    )
+    a = e.alias("a")
+    b = e.select(
+        F.col("geom_id").alias("geom_id_b"),
+        F.col("bminx").alias("minx_b"),
+        F.col("bminy").alias("miny_b"),
+        F.col("bmaxx").alias("maxx_b"),
+        F.col("bmaxy").alias("maxy_b"),
+        "cell",
+    ).alias("b")
+    cand = a.join(b, "cell").filter(F.col("a.geom_id") < F.col("geom_id_b"))
+    # bbox overlap refinement
+    cand = cand.filter(
+        (F.col("a.bminx") <= F.col("maxx_b")) & (F.col("a.bmaxx") >= F.col("minx_b"))
+        & (F.col("a.bminy") <= F.col("maxy_b")) & (F.col("a.bmaxy") >= F.col("miny_b"))
+    )
+    # reference-point dedup (exactly-once per pair, no distinct shuffle)
+    rp_x = F.greatest(F.col("a.bminx"), F.col("minx_b"))
+    rp_y = F.greatest(F.col("a.bminy"), F.col("miny_b"))
+    cand = cand.filter(F.col("cell") == cells.cell_expr(rp_x, rp_y, res))
+    return cand.select(F.col("a.geom_id").alias("src"), F.col("geom_id_b").alias("dst"))
+
+
+def connected_components(
+    pairs: DataFrame, vertices: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Label propagation: every vertex converges to the min geom_id of
+    its component. Each round is one shuffle (edge join + min agg);
+    rounds needed ≈ graph diameter (small for overlap graphs). Returns
+    (geom_id, component).
+
+    vertices: DataFrame with a `geom_id` column (isolated vertices
+    become their own component)."""
+    edges = pairs.select("src", "dst").union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select("geom_id", F.col("geom_id").alias("component"))
+    for _ in range(max_iter):
+        # candidate new labels: min of neighbors' labels and own
+        neigh = (
+            edges.join(labels, edges.dst == labels.geom_id, "inner")
+            .select(F.col("src").alias("geom_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("geom_id")
+            .agg(F.min("component").alias("component"))
+        )
+        # convergence check: any label changed?
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "geom_id")
+            .filter(F.col("o.component") != F.col("n.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=False)
+        if changed == 0:
+            break
+    return labels
+
+
+def dissolve(
+    regions: DataFrame,
+    buffer: float = 8.0,
+    res: int = 10,
+) -> DataFrame:
+    """merge_overlapping_geometries analog: returns one row per
+    component with member count, inherited attributes (min-ordered
+    first row), merged MultiPolygon WKT and total bbox."""
+    import pandas as pd
+
+    from georip_spark.geo import wkt as W
+
+    prepared = prepare_regions(regions, res=res).filter(~F.col("is_empty"))
+    pairs = overlap_pairs(prepared, buffer=buffer, res=res)
+    comps = connected_components(pairs, prepared.select("geom_id"))
+
+    member = prepared.join(comps, "geom_id")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("geom_id").reset_index(drop=True)
+        polys = []
+        for g in pdf["geometry"]:
+            try:
+                polys.extend(W.parse_wkt(g))
+            except (ValueError, IndexError):
+                pass
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "component": first["component"],
+                    "n_members": len(pdf),
+                    "class_name": first.get("class_name"),
+                    "geometry": W.to_wkt(polys),
+                    "minx": float(pdf["minx"].min()),
+                    "miny": float(pdf["miny"].min()),
+                    "maxx": float(pdf["maxx"].max()),
+                    "maxy": float(pdf["maxy"].max()),
+                }
+            ]
+        )
+
+    schema = (
+        "component long, n_members long, class_name string, geometry string, "
+        "minx double, miny double, maxx double, maxy double"
+    )
+    return member.groupBy("component").applyInPandas(merge_group, schema)

@@ -23,7 +23,12 @@ _DEFAULTS = {
     # Arrow batch size bounds pandas-UDF peak memory per task.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.files.maxPartitionBytes": "134217728",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # keep the Spark default: a bigger threshold tempts AQE into
+    # broadcasting mid-sized fact slices (observed: exploded tile
+    # covers), whose single-threaded hash-relation build + GC
+    # anti-scales with core count; genuinely small dims are broadcast
+    # explicitly at call sites
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "64",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",

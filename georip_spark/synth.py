@@ -108,10 +108,17 @@ def synth_rasters(
         "crs", F.when(_u(F.col("id"), 10) < 0.5, "EPSG:32610").otherwise("EPSG:32611")
     )
     df = df.withColumn("nodata", F.lit(-9999.0))
-    return df.select(
+    out = df.select(
         "doc_id", "region", "region_id", "start_year", "end_year",
         "width", "height", "tile_size", "stride", "transform", "crs", "nodata",
     )
+    # Explicit fan-out after the tiny window shuffle: AQE coalesces a
+    # few-MB shuffle down to ONE partition, and every downstream
+    # explode (tiles ×100, covers ×4) then runs single-threaded —
+    # observed as a 15s serial stage dominating the pipeline's
+    # critical path. A user repartition is exempt from AQE coalescing.
+    par = spark.sparkContext.defaultParallelism
+    return out.repartition(par, "doc_id")
 
 
 def synth_regions(

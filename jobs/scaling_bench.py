@@ -41,15 +41,18 @@ def run(n):
     r = out["docs_out"].selectExpr("count(*) c", "sum(size(spans)) s").collect()[0]
     return int(r["s"]), time.time() - t0
 
-run(50)                       # warmup: JIT + python workers
-best = None
-for _ in range(2):            # 2 measured runs, keep the best
+run(200)                      # warmup 1: python-worker fork+import
+run(200)                      # warmup 2: JIT stabilization
+import statistics
+times, spans = [], 0
+for _ in range(3):            # median of 3 (the sandbox VM is noisy)
     spans, sec = run(n_docs)
-    if best is None or sec < best[1]:
-        best = (spans, sec)
+    times.append(sec)
+med = statistics.median(times)
 print(json.dumps({"cores": cores, "n_docs": n_docs,
-                  "spans": best[0], "sec": round(best[1], 2),
-                  "spans_per_sec": round(best[0] / best[1], 1)}))
+                  "spans": spans, "sec": round(med, 2),
+                  "all_runs_sec": [round(t, 2) for t in times],
+                  "spans_per_sec": round(spans / med, 1)}))
 """
 
 
@@ -57,20 +60,20 @@ def run_level(cores: int, n_docs: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(n_docs)],
         capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))) or ".",
-        timeout=1200,
+        timeout=2400,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    lo = run_level(8, n_docs)
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
+    lo = run_level(4, n_docs)
     print(json.dumps(lo))
-    hi = run_level(32, n_docs)
+    hi = run_level(16, n_docs)
     print(json.dumps(hi))
     eff = (hi["spans_per_sec"] / lo["spans_per_sec"]) / 4.0
-    summary = {"N_cores": 8, "4N_cores": 32, "n_docs": n_docs,
+    summary = {"N_cores": 4, "4N_cores": 16, "n_docs": n_docs,
                "throughput_N": lo["spans_per_sec"],
                "throughput_4N": hi["spans_per_sec"],
                "scaling_efficiency": round(eff, 3)}
@@ -88,8 +91,8 @@ parallelism levels in fresh JVMs.
 
 | config | docs | spans | time (s) | spans/s |
 |---|---|---|---|---|
-| local[8] (N) | {lo['n_docs']} | {lo['spans']} | {lo['sec']} | {lo['spans_per_sec']} |
-| local[32] (4N) | {hi['n_docs']} | {hi['spans']} | {hi['sec']} | {hi['spans_per_sec']} |
+| local[4] (N) | {lo['n_docs']} | {lo['spans']} | {lo['sec']} | {lo['spans_per_sec']} |
+| local[16] (4N) | {hi['n_docs']} | {hi['spans']} | {hi['sec']} | {hi['spans_per_sec']} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 =
 {summary['scaling_efficiency']}** (target ≥ 0.8 per north_rule; note
