@@ -838,6 +838,55 @@ def q27_vectorize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q28_dissolve_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A7: merge-overlapping-geometries — cell-indexed overlap
+    self-join + iterative connected components. Oracle recomputes the
+    components with a recursive CTE over the pair graph."""
+    from georip_spark.operators.dissolve import connected_components, overlap_pairs
+    from georip_spark.operators.joins import prepare_regions
+
+    rects = _rects_from_supplier(spark, sf_dir).select(
+        "s_suppkey",
+        F.format_string(
+            "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            "rminx", "rminy", "rmaxx", "rminy", "rmaxx", "rmaxy",
+            "rminx", "rmaxy", "rminx", "rminy",
+        ).alias("geometry"),
+    )
+    prepared = prepare_regions(rects, res=11)
+    pairs = overlap_pairs(prepared, buffer=0.0, res=11)
+    comps = connected_components(pairs, prepared.select("geom_id"))
+    member = prepared.select("geom_id", "s_suppkey").join(comps, "geom_id")
+    return (
+        member.groupBy("component")
+        .agg(
+            F.min("s_suppkey").alias("component_key"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select("component_key", "n_members")
+        .orderBy("component_key")
+    )
+
+
+_Q28_SQL = f"""
+    WITH RECURSIVE r AS ({_RECTS_SQL}),
+    e AS (
+        SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+        FROM r a JOIN r b
+        ON a.rminx <= b.rmaxx AND a.rmaxx >= b.rminx
+       AND a.rminy <= b.rmaxy AND a.rmaxy >= b.rminy
+    ),
+    reach(id, comp) AS (
+        SELECT s_suppkey, s_suppkey FROM r
+        UNION
+        SELECT e.dst, reach.comp FROM reach JOIN e ON e.src = reach.id
+    ),
+    lab AS (SELECT id, MIN(comp) AS component_key FROM reach GROUP BY id)
+    SELECT component_key, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab GROUP BY component_key ORDER BY component_key
+"""
+
+
 # ---------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------
@@ -913,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_rolling_fingerprint": q25_rolling_fingerprint,
         "q26_payload_normalize": q26_payload_normalize,
         "q27_vectorize_payload": q27_vectorize_payload,
+        "q28_dissolve_components": q28_dissolve_components,
     }
 
 
@@ -944,4 +994,5 @@ def oracle_sql() -> dict[str, str]:
         "q24_embedding_neardup": _Q24_SQL,
         "q25_rolling_fingerprint": _Q25_SQL,
         "q26_payload_normalize": _Q26_SQL,
+        "q28_dissolve_components": _Q28_SQL,
     }

@@ -23,14 +23,16 @@ _DEFAULTS = {
     # Arrow batch size bounds pandas-UDF peak memory per task.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # keep the Spark default: a bigger threshold tempts AQE into
-    # broadcasting mid-sized fact slices (observed: exploded tile
-    # covers), whose single-threaded hash-relation build + GC
-    # anti-scales with core count; genuinely small dims are broadcast
-    # explicitly at call sites
-    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # Broadcast ONLY on explicit hints: stats-estimated auto-broadcast
+    # twice bit this engine — (a) a 64MB threshold let AQE broadcast a
+    # mid-size exploded fact slice whose hash-relation build
+    # anti-scaled with cores, and (b) at 128k docs a size misestimate
+    # of the WKT-string dim side OOM'd the driver mid-broadcast. Every
+    # genuinely small dim (class map, prepared regions when the caller
+    # knows they're small) is broadcast explicitly with F.broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.driver.memory": "16g",
     "spark.sql.shuffle.partitions": "64",
-    "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
 }

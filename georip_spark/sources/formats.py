@@ -159,9 +159,6 @@ def yolo_label_lines(labels: DataFrame) -> DataFrame:
     text, lines ordered by (class_id, label); Background-only images
     yield content='' (the reference writes an empty file,
     georip/modeling/yolo/__init__.py:543-575)."""
-    line = F.when(
-        F.col("class_id") >= 0, F.col("label")
-    ).otherwise(F.lit(None))
     per_file = labels.groupBy("filename").agg(
         F.concat_ws(
             "\n",

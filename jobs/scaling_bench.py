@@ -29,7 +29,7 @@ cores = int(sys.argv[1])
 n_docs = int(sys.argv[2])
 spark = georip_spark.get_spark(
     f"scaling-{cores}", master=f"local[{cores}]",
-    extra_conf={"spark.sql.shuffle.partitions": str(max(8, 2 * cores))},
+    extra_conf={"spark.sql.shuffle.partitions": str(4 * cores)},
 )
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -41,8 +41,8 @@ def run(n):
     r = out["docs_out"].selectExpr("count(*) c", "sum(size(spans)) s").collect()[0]
     return int(r["s"]), time.time() - t0
 
-run(200)                      # warmup 1: python-worker fork+import
-run(200)                      # warmup 2: JIT stabilization
+run(2000)                     # warmup 1: python-worker fork+import
+run(n_docs)                   # warmup 2: full-size discarded run (JIT/JVM needs volume)
 import statistics
 times, spans = [], 0
 for _ in range(3):            # median of 3 (the sandbox VM is noisy)
@@ -67,7 +67,7 @@ def run_level(cores: int, n_docs: int) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 128000
     lo = run_level(4, n_docs)
     print(json.dumps(lo))
     hi = run_level(16, n_docs)

@@ -1,0 +1,121 @@
+"""Operator tests: splits determinism, dedup fingerprints, text ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too for a while longer"),
+        (2, "the cat sat on the mat and the dog sat too for a while longer"),  # dup of 1
+        (3, "le chat est sur le tapis et le chien est la aussi pour un moment"),
+        (4, "completely different content about spark query engines and joins"),
+        (5, "the cat sat on the mat and the fox sat too for a while longer"),  # near-dup of 1 (mid-string edit: tail edits can fall between strided shingles)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        from georip_spark.operators.dedup import exact_dup_groups
+
+        out = exact_dup_groups(docs, "doc_id", "text").collect()
+        dup = [r for r in out if r["n_copies"] == 2]
+        assert len(dup) == 1 and dup[0]["keeper"] == 1
+
+
+class TestMinhash:
+    def test_exact_dups_always_pair(self, spark, docs):
+        from georip_spark.operators.dedup import minhash_candidate_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()
+        }
+        assert (1, 2) in pairs  # identical text → identical signature
+        assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated
+
+    def test_jaccard_values(self, spark, docs):
+        from georip_spark.operators.dedup import jaccard_pairs
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 5), (1, 4)], "id_a long, id_b long"
+        )
+        j = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, "doc_id", "text", pairs).collect()}
+        assert j[(1, 2)] == 1.0           # identical
+        assert 0.5 < j[(1, 5)] < 1.0      # near-dup
+        assert j[(1, 4)] < 0.2            # unrelated
+
+
+class TestSimhash:
+    def test_near_dup_distance(self, spark, docs):
+        from georip_spark.operators.dedup import simhash_df
+
+        fp = {r["_id"]: r["simhash"] for r in simhash_df(docs, "doc_id", "text").collect()}
+        assert fp[1] == fp[2]  # identical docs
+        ham_near = bin(fp[1] ^ fp[5]).count("1")
+        ham_far = bin(fp[1] ^ fp[4]).count("1")
+        assert ham_near <= ham_far
+
+
+class TestSplits:
+    def test_stratified_ratios(self, spark):
+        from georip_spark.operators.splits import stratified_split
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("cls")
+        )
+        out = stratified_split(df, "cls", "id", 0.7, 0.15)
+        counts = {
+            (r["cls"], r["type"]): r["n"]
+            for r in out.groupBy("cls", "type").agg(F.count("*").alias("n")).collect()
+        }
+        for c in ("0", "1", "2"):
+            total = sum(v for (cc, _), v in counts.items() if cc == c)
+            assert abs(counts[(c, "train")] / total - 0.7) < 0.02
+            assert abs(counts[(c, "val")] / total - 0.15) < 0.02
+
+    def test_deterministic_across_partitionings(self, spark):
+        from georip_spark.operators.splits import stratified_split
+
+        df = spark.range(300).select(F.col("id"), F.lit("x").alias("cls"))
+        a = {r["id"]: r["type"] for r in stratified_split(df, "cls", "id").collect()}
+        b = {
+            r["id"]: r["type"]
+            for r in stratified_split(df.repartition(7), "cls", "id").collect()
+        }
+        assert a == b
+
+    def test_background_sample_contract(self, spark):
+        from georip_spark.operators.splits import background_sample
+
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") < 80).alias("is_bg")
+        )
+        out = background_sample(df, F.col("is_bg"), "id", ratio=2.0)
+        # truth=20, bg sampled = min(80, 2*20)=40 → 60 rows
+        assert out.count() == 60
+
+
+class TestText:
+    def test_token_counts(self, spark, docs):
+        from georip_spark.operators.text import token_count, word_token_count
+
+        r = docs.filter("doc_id = 4").select(
+            token_count(F.col("text")).alias("t"),
+            word_token_count(F.col("text")).alias("w"),
+        ).first()
+        assert r["t"] == 9
+        assert r["w"] >= r["t"]  # word-pieces ≥ words
+
+    def test_quality_monotone_in_length(self, spark):
+        from georip_spark.operators.text import quality_score
+
+        df = spark.createDataFrame(
+            [(1, "short"), (2, "a perfectly reasonable sentence with many alphabetic words " * 4)],
+            "id int, text string",
+        )
+        q = {r["id"]: r["q"] for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()}
+        assert q[2] > q[1]
