@@ -108,53 +108,41 @@ def build_labels(
 
 def assemble_docs(tiles: DataFrame, labels: DataFrame) -> DataFrame:
     """Reassemble docs: per tile a media span followed by its label
-    text spans (sorted by class_id, geom_id — fixed W1 ordering), tiles
-    in row-major ordinal order, offsets re-enumerated 0..n−1.
-    Shuffle profile: one groupBy per level, both keyed on doc-local
-    keys — partial aggregation applies, and doc_id partitioning is
-    reusable downstream."""
-    # sort key (class_id, label) is reproducible in the oracle (geom_id
-    # is an engine-side xxhash64 the oracle can't recompute)
-    per_tile = labels.groupBy("doc_id", "media_ref", "ordinal").agg(
-        F.array_sort(
-            F.collect_list(F.struct("class_id", "label"))
-        ).alias("tl")
+    text spans (sorted by class_id, label — fixed W1 ordering; the
+    key is reproducible in the oracle, unlike geom_id's xxhash64),
+    tiles in row-major ordinal order, offsets re-enumerated 0..n−1.
+
+    Shuffle profile: media rows and text rows are UNIONED and ordered
+    inside ONE groupBy(doc_id) via a composite struct sort key
+    (ordinal, kind_order, class_id, label) — no tiles×labels join, no
+    second aggregation. One shuffle of (tiles + labels) rows with
+    map-side partial collect: the minimal data movement for doc
+    reassembly at 10^12 docs."""
+    media_rows = tiles.select(
+        "doc_id",
+        F.col("ordinal"),
+        F.lit(0).alias("k"),               # media sorts before its texts
+        F.lit(-(2 ** 31)).cast("int").alias("class_id"),
+        F.lit("").alias("label"),
+        "media_ref",
     )
-    t = tiles.join(per_tile, ["doc_id", "media_ref", "ordinal"], "left")
-    t = t.withColumn(
-        "tile_spans",
-        F.concat(
-            F.array(
-                F.struct(
-                    F.lit("media").alias("kind"),
-                    F.lit("").alias("text"),
-                    F.col("media_ref").alias("media_ref"),
-                )
-            ),
-            F.coalesce(
-                F.transform(
-                    "tl",
-                    lambda x: F.struct(
-                        F.lit("text").alias("kind"),
-                        x["label"].alias("text"),
-                        F.col("media_ref").alias("media_ref"),
-                    ),
-                ),
-                F.array().cast("array<struct<kind:string,text:string,media_ref:string>>"),
-            ),
-        ),
+    text_rows = labels.select(
+        "doc_id", F.col("ordinal"), F.lit(1).alias("k"),
+        F.col("class_id"), F.col("label"), "media_ref",
     )
-    docs = t.groupBy("doc_id").agg(
+    rows = media_rows.unionByName(text_rows)
+    docs = rows.groupBy("doc_id").agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("ordinal"), F.col("tile_spans")))
+            F.collect_list(
+                F.struct("ordinal", "k", "class_id", "label", "media_ref")
+            )
         ).alias("ordered")
     )
-    flat = F.flatten(F.transform("ordered", lambda o: o["tile_spans"]))
     spans = F.transform(
-        flat,
+        F.col("ordered"),
         lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
+            F.when(s["k"] == 0, "media").otherwise("text").alias("kind"),
+            s["label"].alias("text"),
             s["media_ref"].alias("media_ref"),
             i.cast("int").alias("offset"),
         ),
@@ -171,10 +159,18 @@ def build_dataset(
     broadcast_regions: bool | None = None,
 ) -> dict[str, DataFrame]:
     """The full forward pipeline. Returns every intermediate so tests
-    and jobs can tap any stage."""
+    and jobs can tap any stage.
+
+    broadcast_regions=None decides from a cheap dim-side count:
+    Catalyst's size stats misestimate WKT-string tables badly (an
+    auto-broadcast OOM'd the driver at 384k regions), so the choice is
+    made from real cardinality — broadcast under 500k regions
+    (~100-250 MB hash relation), sort-merge + AQE skew join above."""
     tiles = tile_grid(rasters)
     prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
+    if broadcast_regions is None:
+        broadcast_regions = regions.count() <= 500_000
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
         broadcast_regions=broadcast_regions,
