@@ -60,13 +60,15 @@ def main() -> None:
 
     # --- headline queries over driver testdata ------------------------
     qs = entrymod.queries()
-    for name in (
+    names = (
         "q01_pricing_summary", "q09_tile_grid", "q10_pip_join",
         "q11_knn", "q13_exact_dedup", "q15_cosine_topk",
-    ):
+    )
+    for name in names:  # warm each query shape at the tiny SF first
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    for name in names:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     result = {
