@@ -191,45 +191,32 @@ def spatial_join_tiles_regions(
     return out
 
 
-def knn_join(
+def _knn_disk_pass(
     left: DataFrame,
     right: DataFrame,
     k: int,
-    res: int = DEFAULT_RES,
-    ring: int = 1,
-    left_xy: tuple[str, str] = ("cx", "cy"),
-    right_xy: tuple[str, str] = ("fx", "fy"),
-    left_key: str = "media_ref",
-    right_key: str = "geom_id",
-) -> DataFrame:
-    """k nearest right-rows for every left-row (SURVEY.md J12 — the
-    north_rule's kNN between tile centroids and labeled features).
+    res: int,
+    ring: int,
+    lx, ly, rx, ry,
+    left_key: str,
+    right_key: str,
+):
+    """One grid-disk candidate pass. Returns (exact top-k rows for
+    left keys whose neighborhood PROVABLY contains their true top-k,
+    remaining left rows).
 
-    Candidate generation: the left point's cell plus its grid_disk of
-    radius ``ring`` (column-math sequence×sequence, no UDF), equi-join
-    on cell, exact Euclidean distance, ``row_number() ≤ k`` per left
-    key. Left rows whose neighborhood came up short of k fall back to
-    a brute-force pass against the whole right side — correct always,
-    cheap when the fallback set is tiny (ring chosen so that it is).
-
-    Correct-by-construction caveat handled: a neighbor within
-    ``ring·cell_size`` of the point is always inside the disk, so the
-    top-k is exact whenever the k-th true neighbor is within that
-    distance; the fallback covers the rest.
-    """
-    lx, ly = (F.col(c) for c in left_xy)
-    rx, ry = (F.col(c) for c in right_xy)
+    Exactness rule: any point within Euclidean distance ring·cell_size
+    of the probe is inside the Chebyshev grid_disk, so the disk's
+    top-k is the TRUE top-k iff the k-th candidate lies within that
+    radius (and ≥ k candidates exist)."""
     from pyspark.sql.window import Window
 
-    right = right.drop(*[c for c in left.columns if c in right.columns])
-
-    # Replicate the (small) RIGHT side into its grid_disk cells and
-    # leave the (large) probe side at one row per point — build-side
-    # replication costs |right|·(2·ring+1)², probe-side would cost
-    # |left|·(2·ring+1)². The candidate set is identical.
     s = float(cells.cell_size(res))
+    # Replicate the RIGHT side into its grid_disk cells and leave the
+    # (large) probe side at one row per point — build-side replication
+    # costs |right|·(2·ring+1)², probe-side would cost |left|·(…)².
     r_exp = right
-    for axis, col in (("_dx", rx), ("_dy", ry)):
+    for axis in ("_dx", "_dy"):
         r_exp = r_exp.withColumn(axis, F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
     r_exp = r_exp.withColumn(
         "cell",
@@ -242,43 +229,72 @@ def knn_join(
     dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
     cand = cand.withColumn("dist", dist)
 
-    # one shuffle, three window functions over the same partitioning:
-    # rank within neighborhood, neighborhood size, and the k-th
-    # candidate's distance — no recomputation of the candidate join.
-    #
-    # Exactness: any point within Euclidean distance ring·cell_size of
-    # the probe is guaranteed inside the Chebyshev grid_disk, so the
-    # disk's top-k is the TRUE top-k iff the k-th candidate lies within
-    # that radius. Neighborhoods failing the test (sparse areas) fall
-    # back to brute force.
+    # one shuffle, three window functions over the same partitioning
     order = [F.col("dist").asc(), F.col(right_key).asc()]
     wp = Window.partitionBy(left_key)
     ranked = (
         cand.withColumn("rn", F.row_number().over(wp.orderBy(*order)))
         .withColumn("_n_cand", F.count("*").over(wp))
-        .withColumn(
-            "_kth",
-            F.max(F.when(F.col("rn") <= k, F.col("dist"))).over(wp),
-        )
+        .withColumn("_kth", F.max(F.when(F.col("rn") <= k, F.col("dist"))).over(wp))
     )
-    safe_r = float(ring) * s
     keep = ranked.filter(
-        (F.col("rn") <= k) & (F.col("_n_cand") >= k) & (F.col("_kth") <= F.lit(safe_r))
+        (F.col("rn") <= k)
+        & (F.col("_n_cand") >= k)
+        & (F.col("_kth") <= F.lit(float(ring) * s))
     ).drop("_n_cand", "_kth")
-    # keep feeds three consumers (output union, sated-key distinct,
-    # fallback anti-join); checkpoint the small top-k result so the
-    # big candidate join + window isn't executed three times
+    # keep feeds multiple consumers (output union + anti-join for the
+    # next pass); checkpoint the small top-k so the candidate join +
+    # window isn't re-executed per consumer
     keep = keep.localCheckpoint(eager=False)
+    remaining = left.join(keep.select(left_key).distinct(), left_key, "left_anti")
+    return keep, remaining
 
-    # fallback: left rows whose disk held < k candidates get one
-    # brute-force pass against the broadcast right side. Exact always;
-    # cheap when `ring`/`res` are sized so the typical neighborhood
-    # holds ≥ k features (AQE reuses the candidate exchange for the
-    # anti-join, so nothing is recomputed).
-    sated_keys = keep.select(left_key).distinct()
-    short = left.join(sated_keys, left_key, "left_anti")
-    full = short.crossJoin(F.broadcast(right)).withColumn("dist", dist)
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    res: int = DEFAULT_RES,
+    ring: int = 1,
+    left_xy: tuple[str, str] = ("cx", "cy"),
+    right_xy: tuple[str, str] = ("fx", "fy"),
+    left_key: str = "media_ref",
+    right_key: str = "geom_id",
+    escalate: int = 4,
+) -> DataFrame:
+    """k nearest right-rows for every left-row (SURVEY.md J12 — the
+    north_rule's kNN between tile centroids and labeled features).
+
+    Adaptive candidate generation: pass 1 searches each point's
+    grid_disk of radius ``ring``; points whose neighborhood can't
+    prove its top-k (sparse areas) escalate to ``ring·escalate``;
+    whatever is still unproven gets one brute-force pass against the
+    broadcast right side. Exact always; each pass touches only the
+    still-unsolved lefts, so dense regions pay the small disk and only
+    the sparse tail pays wider search — the property that holds under
+    skewed feature layouts (Zipf regions, lattice artifacts)."""
+    lx, ly = (F.col(c) for c in left_xy)
+    rx, ry = (F.col(c) for c in right_xy)
+    from pyspark.sql.window import Window
+
+    right = right.drop(*[c for c in left.columns if c in right.columns])
+
+    keeps = []
+    remaining = left
+    for r_i in (ring, ring * escalate):
+        keep_i, remaining = _knn_disk_pass(
+            remaining, right, k, res, r_i, lx, ly, rx, ry, left_key, right_key
+        )
+        keeps.append(keep_i)
+
+    # brute-force tail for the provably-hard leftovers
+    dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
+    order = [F.col("dist").asc(), F.col(right_key).asc()]
+    full = remaining.crossJoin(F.broadcast(right)).withColumn("dist", dist)
     fw = Window.partitionBy(left_key).orderBy(*order)
     full_ranked = full.withColumn("rn", F.row_number().over(fw)).filter(F.col("rn") <= k)
 
-    return keep.unionByName(full_ranked, allowMissingColumns=True)
+    out = keeps[0]
+    for other in keeps[1:] + [full_ranked]:
+        out = out.unionByName(other, allowMissingColumns=True)
+    return out
