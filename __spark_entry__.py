@@ -723,7 +723,10 @@ _Q23_SQL = "\n    SELECT CAST(doc_id AS BIGINT) AS doc_id,\n           ROUND(LEA
 
 def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: 8-plane LSH bucket join + exact
-    cosine verification within buckets."""
+    cosine verification within buckets. All math on integer-quantized
+    components (floor(v·10⁴+0.5)) so signature signs and cosines are
+    bit-identical across engines (round-1's q24 hash fail was the
+    double fold-order ULP)."""
     from georip_spark.operators.similarity import lsh_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
@@ -733,7 +736,37 @@ def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q24_SQL = '\n    WITH sigs AS (SELECT vec_id, embedding, CAST((CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((0) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((31) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((62) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((93) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((124) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((155) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((186) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, 63)), x -> CAST(x[1] AS DOUBLE) * (CASE WHEN ((217) + x[2] * 17) % 7 < 4 THEN 1.0 ELSE -1.0 END))) > 0 THEN 128 ELSE 0 END) AS BIGINT) AS sig FROM embeddings),\n    pairs AS (\n        SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),\n                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))\n                 / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))\n                  * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 4) AS cosine\n        FROM sigs a JOIN sigs b USING (sig) WHERE a.vec_id < b.vec_id)\n    SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b\n'
+def _q24_sql() -> str:
+    # mirrors similarity.quantize / hyperplane_signature / int_dot:
+    # sig bit p = sign of Σ q_i·h_p[i], h_p[i] = ±1 from (p·31+i·17)%7<4;
+    # hot-bucket sub-split on vec_id % ceil(bucket_count/1000)
+    planes = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(qe, generate_series(0, 63)), "
+        f"x -> CAST(x[1] AS BIGINT) * (CASE WHEN (({p * 31}) + x[2] * 17) % 7 < 4 THEN 1 ELSE -1 END))) > 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+            list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+        FROM embeddings),
+    sigs AS (SELECT vec_id, qe, CAST({planes} AS BIGINT) AS sig FROM q),
+    sigs2 AS (SELECT *, COUNT(*) OVER (PARTITION BY sig) AS bc FROM sigs),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                         x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(a.qe, v -> v * v)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.qe, v -> v * v)) AS DOUBLE))), 4) AS cosine
+        FROM sigs2 a JOIN sigs2 b ON a.sig = b.sig
+             AND a.vec_id % GREATEST(1, CAST(CEIL(a.bc / 1000.0) AS BIGINT))
+               = b.vec_id % GREATEST(1, CAST(CEIL(a.bc / 1000.0) AS BIGINT))
+        WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b
+"""
+
+
+_Q24_SQL = _q24_sql()
 
 
 def q25_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

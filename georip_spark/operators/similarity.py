@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 MOD = 2147483647
+QUANT_SCALE = 10000  # embedding components → longs; |q| ≤ ~10⁴ for
+# unit-norm vectors, so Σ q_a·q_b over dim ≤ 10⁴ stays ≪ 2⁶³
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -27,6 +29,30 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> → array<long> of floor(v·scale + 0.5): the
+    integer embedding representation all near-dup math runs on.
+
+    Why integers: double folds are order- and ULP-sensitive — Spark's
+    strictly-left F.aggregate and DuckDB's list_sum disagree in the
+    last bit, which flips ROUND(cosine, 4) when a value sits on a
+    rounding boundary (round-1's only red oracle cell, q24). Integer
+    sums are associative and exact, so signature signs, dots and
+    norms² hash bit-identically on any engine."""
+    return F.transform(
+        vec, lambda v: F.floor(v.cast("double") * scale + 0.5).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact Σ a_i·b_i over array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
@@ -66,25 +92,44 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
-    """Random-hyperplane LSH signature as a long bitmask: bit p is the
-    sign of <vec, h_p> where h_p is a deterministic ±1 hyperplane
-    derived from (p, i) arithmetic — engine-portable, no stored
-    planes. h_p[i] = +1 if ((p·31 + i·17) mod 7) < 4 else −1."""
+def hyperplane_signature(qvec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature as a long bitmask over a
+    QUANTIZED (array<long>) embedding: bit p is the sign of <q, h_p>
+    where h_p is a deterministic ±1 hyperplane derived from (p, i)
+    arithmetic — engine-portable, no stored planes, and the projection
+    is an exact integer sum (no float fold-order divergence).
+    h_p[i] = +1 if ((p·31 + i·17) mod 7) < 4 else −1."""
     def plane_sign(p: int):
-        return lambda x, i: x.cast("double") * F.when(
-            ((F.lit(p * 31) + i * 17) % 7) < 4, 1.0
-        ).otherwise(-1.0)
+        return lambda x, i: x * F.when(
+            ((F.lit(p * 31) + i * 17) % 7) < 4, F.lit(1).cast("long")
+        ).otherwise(F.lit(-1).cast("long"))
 
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), plane_sign(p)),
-            F.lit(0.0),
+            F.zip_with(qvec, F.sequence(F.lit(0), F.lit(dim - 1)), plane_sign(p)),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Diagnostic: (sig, n) bucket histogram — run this to size
+    ``bucket_cap`` / audit how many pairs hot-bucket sub-splitting
+    will forgo on a given corpus."""
+    return (
+        df.select(hyperplane_signature(quantize(F.col(vec_col), scale), n_planes, dim).alias("sig"))
+        .groupBy("sig")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def lsh_neardup_pairs(
@@ -95,25 +140,52 @@ def lsh_neardup_pairs(
     n_planes: int = 16,
     dim: int = 64,
     round_to: int = 4,
+    scale: int = QUANT_SCALE,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
-    """Embedding near-dup pairs: bucket on the hyperplane signature,
-    exact-cosine verify within buckets. Recall < 1 by LSH nature; the
-    exact variant is a plain self-join (see brute_force_topk)."""
+    """Embedding near-dup pairs: bucket on the hyperplane signature of
+    the quantized embedding, exact-cosine verify within buckets.
+    Recall < 1 by LSH nature; the exact variant is a plain self-join
+    (see brute_force_topk).
+
+    All arithmetic is integer (quantize(scale)) until the final
+    cosine division, whose operands (dot, norm²) are exact longs — so
+    the emitted cosine is bit-identical across engines.
+
+    Hot-bucket guard: a near-duplicate-heavy corpus (the target
+    workload) can put O(n) rows into ONE signature bucket, turning the
+    self-join O(n²). Buckets larger than ``bucket_cap`` are sub-split
+    on ``id mod ceil(n/bucket_cap)`` — bounding every join group at
+    ~bucket_cap rows at the cost of missing pairs that straddle
+    sub-buckets (disclosed recall trade; audit with lsh_bucket_stats).
+    The sub-split key is derived from the id, not a random salt, so
+    results stay deterministic and oracle-reproducible."""
     sigs = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"),
-    )
+        quantize(F.col(vec_col), scale).alias("_q"),
+    ).withColumn("sig", hyperplane_signature(F.col("_q"), n_planes, dim))
+    # bucket-size window: same shuffle key as the join itself, so AQE
+    # reuses the exchange; k sub-buckets per hot signature
+    wb = Window.partitionBy("sig")
+    sigs = sigs.withColumn(
+        "_k",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.count("*").over(wb) / F.lit(bucket_cap)).cast("long"),
+        ),
+    ).withColumn("sub", F.pmod(F.col("_id").cast("long"), F.col("_k")))
     a, b = sigs.alias("a"), sigs.alias("b")
+    na2 = int_dot(F.col("a._q"), F.col("a._q"))
+    nb2 = int_dot(F.col("b._q"), F.col("b._q"))
     return (
-        a.join(b, "sig")
+        a.join(b, ["sig", "sub"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.round(
-                dot(F.col("a._v"), F.col("b._v"))
-                / (norm(F.col("a._v")) * norm(F.col("b._v"))),
+                int_dot(F.col("a._q"), F.col("b._q")).cast("double")
+                / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))),
                 round_to,
             ).alias("cosine"),
         )
