@@ -844,10 +844,13 @@ _Q26_SQL = """
 
 
 def q27_vectorize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1/R2 vectorize: above-threshold region polygons per payload —
-    genuinely non-SQL (connected components + boundary tracing), so no
-    oracle entry (driver records the weaker rows-only check; exact
-    semantics are pytest-verified against rasterize roundtrips)."""
+    """R1/R2 vectorize: above-threshold region polygons per payload.
+    The tracing itself (connected components + boundary walk) is
+    non-SQL, but its AREA is checkable: exact rectilinear rings on
+    pixel boundaries ⇒ polygon area (shells − holes) == count of
+    above-threshold pixels, which DuckDB recomputes from the same
+    deterministic payload — so the oracle catches any ring-tracing,
+    hole-handling or area-kernel bug that changes covered pixels."""
     from georip_spark.operators.rastervec import vectorize_payload
     from georip_spark.operators import geom_udfs
 
@@ -869,6 +872,18 @@ def q27_vectorize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("area", 2).alias("area"),
         F.col("is_empty"),
     ).orderBy("p_partkey")
+
+
+_Q27_SQL = """
+    WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 50 = 0),
+    c AS (SELECT p_partkey,
+            list_sum(list_transform(generate_series(0, 255), i ->
+                CASE WHEN (p_partkey * 2654435761 + i * 40503) % 1048576 / 1048576.0 > 0.5
+                     THEN 1 ELSE 0 END)) AS cnt
+          FROM p)
+    SELECT p_partkey, ROUND(CAST(cnt AS DOUBLE), 2) AS area, cnt = 0 AS is_empty
+    FROM c ORDER BY p_partkey
+"""
 
 
 def q28_dissolve_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +933,118 @@ _Q28_SQL = f"""
     SELECT component_key, CAST(COUNT(*) AS BIGINT) AS n_members
     FROM lab GROUP BY component_key ORDER BY component_key
 """
+
+
+def q29_docs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract INPUT path (BASELINE.json input_hint / SURVEY §1.3):
+    build the docs(doc_id, spans) table, then drive the engine FROM it
+    — posexplode media spans, parse pixel windows out of media_ref,
+    re-derive ordinals + CRS footprints via the raster-metadata join
+    (pipeline.tiles_from_docs). The oracle computes the same per-doc
+    aggregates directly from the tile-grid derivation, so any ingest
+    bug (span parse, ordinal law, affine) breaks the hash."""
+    from georip_spark import synth
+    from georip_spark.pipeline import tiles_from_docs
+
+    rasters = _rasters_from_part(spark, sf_dir)
+    docs = synth.synth_docs(spark, rasters)
+    tiles = tiles_from_docs(docs, rasters)
+    return (
+        tiles.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum("ordinal").cast("long").alias("sum_ordinal"),
+            F.sum((F.col("tile_w") * F.col("tile_h")).cast("long")).cast("long").alias("sum_px"),
+            F.round(F.min("minx"), 6).alias("grid_minx"),
+            F.round(F.max("maxy"), 6).alias("grid_maxy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q29_SQL = f"""
+    WITH r AS ({_RASTERS_SQL}),
+    g1 AS (SELECT *, unnest(generate_series(0, height - 1, stride)) AS tile_row FROM r),
+    g2 AS (SELECT *, unnest(generate_series(0, width - 1, stride)) AS tile_col FROM g1),
+    t AS (SELECT doc_id,
+           (tile_row // stride) * ((width + stride - 1) // stride) + (tile_col // stride) AS ordinal,
+           CASE WHEN tile_size < width - tile_col THEN tile_size ELSE width - tile_col END AS tile_w,
+           CASE WHEN tile_size < height - tile_row THEN tile_size ELSE height - tile_row END AS tile_h,
+           tc + tile_col * 1.0 AS minx,
+           tf - tile_row * 1.0 AS maxy
+    FROM g2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(ordinal) AS BIGINT) AS sum_ordinal,
+           CAST(SUM(tile_w * tile_h) AS BIGINT) AS sum_px,
+           ROUND(MIN(minx), 6) AS grid_minx,
+           ROUND(MAX(maxy), 6) AS grid_maxy
+    FROM t GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q30_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup (the judged composition): MinHash-LSH
+    candidates → exact Jaccard ≥ 0.6 verify → connected components →
+    keeper = min doc_id per duplicate group. One row per document with
+    its group keeper and survival flag. Oracle recomputes the whole
+    chain in SQL with a recursive CTE for the components."""
+    from georip_spark.operators.dedup import neardup_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        neardup_dedup(d, "doc_id", "text", tau=0.6)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("keeper").cast("long").alias("keeper"),
+            "is_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q30_sql() -> str:
+    # mirrors dedup.shingle_codes / minhash (a=2h+3, b=5h+1) / band
+    # keys / jaccard verify / min-label components (recursive CTE)
+    poly = " + ".join(
+        f"CAST(unicode(substr(substr(text, i + 1, 8), {j + 1}, 1)) AS BIGINT) * {31 ** j}"
+        for j in range(8)
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(cs, c -> (c * {2 * h + 3} + {5 * h + 1}) % 2147483647))"
+        for h in range(16)
+    )
+    band_exprs = ", ".join(
+        f"'{b}' || '_' || " + " || '_' || ".join(f"sig[{b * 4 + r + 1}]" for r in range(4))
+        for b in range(4)
+    )
+    return f"""
+    WITH RECURSIVE codes AS (SELECT doc_id,
+            list_transform(generate_series(0, greatest(length(text) - 8, 0), 4),
+                           i -> ({poly}) % 2147483647) AS cs FROM documents),
+    sigs AS (SELECT doc_id, [{mins}] AS sig FROM codes),
+    bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sigs),
+    cand AS (SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+             FROM bands a JOIN bands b USING (band)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    csets AS (SELECT CAST(doc_id AS BIGINT) AS did, list_distinct(cs) AS cset FROM codes),
+    ver AS (SELECT id_a, id_b FROM cand
+            JOIN csets ca ON ca.did = cand.id_a
+            JOIN csets cb ON cb.did = cand.id_b
+            WHERE ROUND(len(list_intersect(ca.cset, cb.cset)) * 1.0 /
+                        len(list_distinct(list_concat(ca.cset, cb.cset))), 6) >= 0.6),
+    e AS (SELECT id_a AS src, id_b AS dst FROM ver
+          UNION ALL SELECT id_b, id_a FROM ver),
+    reach(id, comp) AS (
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+        UNION
+        SELECT e.dst, reach.comp FROM reach JOIN e ON e.src = reach.id),
+    lab AS (SELECT id AS doc_id, MIN(comp) AS keeper FROM reach GROUP BY id)
+    SELECT doc_id, keeper, doc_id = keeper AS is_kept FROM lab ORDER BY doc_id
+"""
+
+
+_Q30_SQL = _q30_sql()
 
 
 # ---------------------------------------------------------------------
@@ -996,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_payload_normalize": q26_payload_normalize,
         "q27_vectorize_payload": q27_vectorize_payload,
         "q28_dissolve_components": q28_dissolve_components,
+        "q29_docs_ingest": q29_docs_ingest,
+        "q30_neardup_dedup": q30_neardup_dedup,
     }
 
 
@@ -1027,5 +1156,8 @@ def oracle_sql() -> dict[str, str]:
         "q24_embedding_neardup": _Q24_SQL,
         "q25_rolling_fingerprint": _Q25_SQL,
         "q26_payload_normalize": _Q26_SQL,
+        "q27_vectorize_payload": _Q27_SQL,
         "q28_dissolve_components": _Q28_SQL,
+        "q29_docs_ingest": _Q29_SQL,
+        "q30_neardup_dedup": _Q30_SQL,
     }

@@ -191,6 +191,52 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Dat
     return agg.select("_id", fp.alias("simhash"))
 
 
+def neardup_dedup(
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.6
+) -> DataFrame:
+    """END-TO-END near-duplicate deduplication — the full composition:
+    MinHash-LSH candidates → exact n-gram Jaccard ≥ tau verification →
+    connected components over the verified-pair graph → keeper = min
+    id per duplicate group.
+
+    Returns one row per input doc: (id_col, keeper, is_kept) —
+    singletons keep themselves; a duplicate group survives only
+    through its min-id member. Feed ``is_kept`` to a filter (or
+    anti-join the losers) to materialize the deduplicated corpus
+    (see drop_near_duplicates).
+
+    Scale shape: candidates come from the banded LSH bucket join (no
+    all-pairs), verification touches only candidates, and component
+    resolution is O(log diameter) min-label rounds — each one
+    edge-join + partial-aggregated min. Duplicate-group diameters are
+    tiny in practice (near-dups of a doc are near-dups of each other),
+    so the loop converges in 2-3 rounds."""
+    from georip_spark.operators.dissolve import connected_components
+
+    cand = minhash_candidate_pairs(df, id_col, text_col)
+    verified = jaccard_pairs(df, id_col, text_col, cand).filter(
+        F.col("jaccard") >= tau
+    )
+    pairs = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    vertices = df.select(F.col(id_col).alias("geom_id"))
+    comps = connected_components(pairs, vertices)
+    return comps.select(
+        F.col("geom_id").alias(id_col),
+        F.col("component").alias("keeper"),
+        (F.col("geom_id") == F.col("component")).alias("is_kept"),
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.6
+) -> DataFrame:
+    """The deduplicated corpus: df minus non-keeper near-duplicates.
+    Join (not broadcast) on the id — the assignment table is the same
+    cardinality as df."""
+    keep = neardup_dedup(df, id_col, text_col, tau).filter("is_kept").select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: md5 fingerprint groups with keeper = min id."""
     return (

@@ -26,9 +26,91 @@ from georip_spark.operators.joins import (
     prepare_regions,
     spatial_join_tiles_regions,
 )
-from georip_spark.operators.tiling import tile_grid
+from georip_spark.operators.tiling import tile_grid, with_footprint_bbox
 
 DEFAULT_CLASSES = ("Treatment", "Background")
+
+_TILE_REF_RE = r"_tile_([0-9]+)_([0-9]+)$"
+
+
+def tiles_from_docs(docs: DataFrame, rasters: DataFrame) -> DataFrame:
+    """Contract INPUT path (BASELINE.json input_hint, SURVEY.md §1.3):
+    read the docs table ``(doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>)``, explode the media spans, and reconstruct
+    the tile rows the rest of the engine runs on — the same schema
+    ``tile_grid`` produces, so build_labels/assemble_docs are shared
+    verbatim between the docs-driven and raster-driven entries.
+
+    The span's media_ref carries the pixel window origin
+    (``{stem}_tile_{row}_{col}``, georip/raster/tools.py:274); widths,
+    ordinals and CRS footprints need the raster metadata, joined 1:1
+    on doc_id BEFORE the span fan-out — joining after the explode
+    would shuffle ~100× more rows for the same result.
+
+    Scale shape: one equi-join of two doc-keyed tables (sort-merge or
+    broadcast as Catalyst sizes it), then a partition-local explode +
+    column math; no extra shuffle beyond the join itself.
+    """
+    meta = rasters.select(
+        "doc_id", "width", "height", "tile_size", "stride", "transform"
+    )
+    d = docs.join(meta, "doc_id")
+    m = d.select(
+        "doc_id", "width", "height", "tile_size", "stride", "transform",
+        F.explode("spans").alias("span"),
+    ).filter(F.col("span.kind") == "media")
+    tile_row = F.regexp_extract(F.col("span.media_ref"), _TILE_REF_RE, 1).cast("int")
+    tile_col = F.regexp_extract(F.col("span.media_ref"), _TILE_REF_RE, 2).cast("int")
+    ncols = F.ceil(F.col("width") / F.col("stride")).cast("int")
+    tiles = m.select(
+        "doc_id",
+        tile_row.alias("tile_row"),
+        tile_col.alias("tile_col"),
+        F.least(F.col("tile_size"), F.col("width") - tile_col).alias("tile_w"),
+        F.least(F.col("tile_size"), F.col("height") - tile_row).alias("tile_h"),
+        ((tile_row / F.col("stride")).cast("int") * ncols
+         + (tile_col / F.col("stride")).cast("int")).alias("ordinal"),
+        F.col("span.media_ref").alias("media_ref"),
+        "transform",
+        "tile_size",
+    )
+    return with_footprint_bbox(tiles).drop("transform")
+
+
+def from_docs(
+    docs: DataFrame,
+    rasters: DataFrame,
+    regions: DataFrame,
+    res: int = DEFAULT_RES,
+    keep_classes=DEFAULT_CLASSES,
+    salt: int | None = None,
+    broadcast_regions: bool | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline FROM the contract docs table: the user
+    hands (docs, raster metadata, truth regions) and gets the enriched
+    docs back — media spans preserved, computed text spans inserted.
+
+    Output == build_dataset(rasters, regions)["docs_out"] span-for-
+    span when docs was produced by tiling those rasters (the e2e
+    parity test); differs exactly where the docs table does (tiles
+    added/removed upstream are respected, not re-derived)."""
+    tiles = tiles_from_docs(docs, rasters)
+    prepared = prepare_regions(regions, res=res)
+    classes = class_map(regions, keep_classes)
+    if broadcast_regions is None:
+        broadcast_regions = regions.count() <= 500_000
+    labels = build_labels(
+        tiles, prepared, classes, res=res, salt=salt,
+        broadcast_regions=broadcast_regions,
+    )
+    docs_out = assemble_docs(tiles, labels)
+    return {
+        "tiles": tiles,
+        "regions_prepared": prepared,
+        "classes": classes,
+        "labels": labels,
+        "docs_out": docs_out,
+    }
 
 
 def class_map(regions: DataFrame, keep_classes=DEFAULT_CLASSES) -> DataFrame:

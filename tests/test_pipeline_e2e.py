@@ -126,3 +126,32 @@ def test_broadcast_join_same_result(spark, tiny, engine_out):
     assert spans_from_engine(bc["docs_out"]) == spans_from_engine(
         engine_out["docs_out"]
     )
+
+
+def test_from_docs_parity(spark, tiny, engine_out):
+    """Contract input path: driving the pipeline FROM the docs table
+    (posexplode media spans -> parse windows -> rebuild footprints)
+    yields byte-identical span sequences to the raster-driven path."""
+    from georip_spark.pipeline import from_docs
+
+    rasters, regions = tiny
+    docs = synth.synth_docs(spark, rasters)
+    via_docs = from_docs(docs, rasters, regions)
+    assert spans_from_engine(via_docs["docs_out"]) == spans_from_engine(
+        engine_out["docs_out"]
+    )
+
+
+def test_tiles_from_docs_respects_doc_table(spark, tiny):
+    """The docs table is authoritative: a media span removed upstream
+    must NOT be re-derived from the raster grid."""
+    from georip_spark.pipeline import tiles_from_docs
+
+    rasters, _ = tiny
+    docs = synth.synth_docs(spark, rasters)
+    pruned = docs.select(
+        "doc_id", F.expr("slice(spans, 1, greatest(size(spans) - 1, 1))").alias("spans")
+    )
+    n_full = tiles_from_docs(docs, rasters).count()
+    n_pruned = tiles_from_docs(pruned, rasters).count()
+    assert n_pruned < n_full
