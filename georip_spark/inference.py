@@ -42,34 +42,37 @@ def pseudo_score_and_vectorize(tiles: DataFrame) -> DataFrame:
     One mapInPandas pass; no model weights involved."""
 
     def run(batches):
+        import hashlib
+
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            # zip over ndarrays (not iterrows): vectorize is per-tile
+            # work, but row access shouldn't pay pandas row-view cost
+            for ref, minx, miny, maxx, maxy in zip(
+                pdf["media_ref"].values, pdf["minx"].values, pdf["miny"].values,
+                pdf["maxx"].values, pdf["maxy"].values,
+            ):
                 w = h = 16  # coarse mask per tile (model-output analog)
                 # md5, not hash(): python hash() is salted per process
-                import hashlib
-
-                seed = int.from_bytes(
-                    hashlib.md5(r["media_ref"].encode()).digest()[:4], "big"
-                )
+                seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
                 rng = np.random.default_rng(seed)
                 mask = (rng.random((h, w)) > 0.85).astype(np.uint8)
                 mp = vectorize_mask(mask)
                 if not mp:
                     continue
                 # pixel → CRS: x = minx + px*(maxx-minx)/w ; y = maxy - py*(maxy-miny)/h
-                sx = (r["maxx"] - r["minx"]) / w
-                sy = (r["maxy"] - r["miny"]) / h
+                sx = (maxx - minx) / w
+                sy = (maxy - miny) / h
                 crs_mp = [
                     [
                         np.column_stack(
-                            [r["minx"] + ring[:, 0] * sx, r["maxy"] - ring[:, 1] * sy]
+                            [minx + ring[:, 0] * sx, maxy - ring[:, 1] * sy]
                         )
                         for ring in poly
                     ]
                     for poly in mp
                 ]
-                rows.append((r["media_ref"], W.to_wkt(crs_mp)))
+                rows.append((ref, W.to_wkt(crs_mp)))
             yield pd.DataFrame(rows, columns=["media_ref", "geometry"])
 
     return tiles.select("media_ref", "minx", "miny", "maxx", "maxy").mapInPandas(

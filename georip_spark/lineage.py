@@ -84,6 +84,19 @@ class StageStore:
             BUCKET_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
         )
         done = self.completed_buckets(name)
+        # Reconcile directory state against the manifest BEFORE deciding
+        # what's missing: a prior run may have committed a bucket's
+        # parquet write and died before _save_manifest (the window
+        # includes the read-back count job). Blind append would then
+        # recompute AND re-append those rows — silently duplicating the
+        # stage output. Orphan bucket dirs are dropped so the bucket is
+        # recomputed exactly once.
+        for entry in os.listdir(self.stage_dir(name)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            if b not in done:
+                shutil.rmtree(os.path.join(self.stage_dir(name), entry))
         missing = [b for b in range(n_buckets) if b not in done]
         if missing:
             todo = bucketed.filter(F.col(BUCKET_COL).isin(missing))

@@ -250,6 +250,34 @@ def _knn_disk_pass(
     return keep, remaining
 
 
+def _knn_tail(
+    remaining: DataFrame,
+    right: DataFrame,
+    k: int,
+    lx, ly, rx, ry,
+    left_key: str,
+    right_key: str,
+    broadcast_left: bool,
+):
+    """Exact all-pairs pass for the provably-hard leftovers. The
+    BROADCAST side is the (small, by the cost rule in knn_join) set of
+    unproven LEFT rows — never the right corpus: broadcasting the full
+    right side OOMs the driver when right is fact-sized, even with
+    only a handful of lefts remaining. If even the remaining set is
+    too big to broadcast, fall back to a fully distributed cartesian —
+    slow but memory-safe (the degenerate-geometry last resort)."""
+    from pyspark.sql.window import Window
+
+    dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
+    if broadcast_left:
+        full = right.crossJoin(F.broadcast(remaining))
+    else:
+        full = remaining.crossJoin(right)
+    full = full.withColumn("dist", dist)
+    fw = Window.partitionBy(left_key).orderBy(F.col("dist").asc(), F.col(right_key).asc())
+    return full.withColumn("rn", F.row_number().over(fw)).filter(F.col("rn") <= k)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -261,40 +289,55 @@ def knn_join(
     left_key: str = "media_ref",
     right_key: str = "geom_id",
     escalate: int = 4,
+    max_ring: int = 64,
+    broadcast_tail_rows: int = 1_000_000,
 ) -> DataFrame:
     """k nearest right-rows for every left-row (SURVEY.md J12 — the
     north_rule's kNN between tile centroids and labeled features).
 
     Adaptive candidate generation: pass 1 searches each point's
     grid_disk of radius ``ring``; points whose neighborhood can't
-    prove its top-k (sparse areas) escalate to ``ring·escalate``;
-    whatever is still unproven gets one brute-force pass against the
-    broadcast right side. Exact always; each pass touches only the
-    still-unsolved lefts, so dense regions pay the small disk and only
-    the sparse tail pays wider search — the property that holds under
-    skewed feature layouts (Zipf regions, lattice artifacts)."""
+    prove its top-k (sparse areas) escalate geometrically
+    (ring·escalate, ring·escalate², … up to ``max_ring``). Exact
+    always; each pass touches only the still-unsolved lefts, so dense
+    regions pay the small disk and only the sparse tail pays wider
+    search — the property that holds under skewed feature layouts
+    (Zipf regions, lattice artifacts).
+
+    Cost rule between passes: a ring-r pass replicates the right side
+    (2r+1)² ways, the all-pairs tail costs |remaining|·|right| — so
+    once |remaining| ≤ (2r_next+1)² the tail is the cheaper exact
+    finish and we take it, broadcasting the SMALL remaining-left set
+    (never the right corpus, which may be fact-table-sized — the
+    round-1 driver-OOM risk). The per-pass count() actions are on the
+    already-checkpointed top-k, not recomputed joins."""
     lx, ly = (F.col(c) for c in left_xy)
     rx, ry = (F.col(c) for c in right_xy)
-    from pyspark.sql.window import Window
 
     right = right.drop(*[c for c in left.columns if c in right.columns])
 
     keeps = []
+    tail_ranked = None
     remaining = left
-    for r_i in (ring, ring * escalate):
+    r_i = ring
+    while True:
         keep_i, remaining = _knn_disk_pass(
             remaining, right, k, res, r_i, lx, ly, rx, ry, left_key, right_key
         )
         keeps.append(keep_i)
-
-    # brute-force tail for the provably-hard leftovers
-    dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
-    order = [F.col("dist").asc(), F.col(right_key).asc()]
-    full = remaining.crossJoin(F.broadcast(right)).withColumn("dist", dist)
-    fw = Window.partitionBy(left_key).orderBy(*order)
-    full_ranked = full.withColumn("rn", F.row_number().over(fw)).filter(F.col("rn") <= k)
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        r_next = r_i * escalate
+        if r_next > max_ring or n_rem <= (2 * r_next + 1) ** 2:
+            tail_ranked = _knn_tail(
+                remaining, right, k, lx, ly, rx, ry, left_key, right_key,
+                broadcast_left=n_rem <= broadcast_tail_rows,
+            )
+            break
+        r_i = r_next
 
     out = keeps[0]
-    for other in keeps[1:] + [full_ranked]:
+    for other in keeps[1:] + ([tail_ranked] if tail_ranked is not None else []):
         out = out.unionByName(other, allowMissingColumns=True)
     return out

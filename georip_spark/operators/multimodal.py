@@ -101,19 +101,24 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            # zip over ndarrays, not iterrows: decode is inherently
+            # per-item but the row plumbing needn't pay pandas row-view
+            # construction (~10× per-row overhead)
+            for ref, payload, meta in zip(
+                pdf["media_ref"].values, pdf["payload"].values, pdf["meta"].values
+            ):
+                payload = bytes(payload)
                 if decode_stub == "error":
                     raise NotImplementedError(
                         "media decode requires codec libraries (PIL/ffmpeg) "
                         "not present in this environment"
                     )
-                arr = _fake_decode(payload, r["meta"])
+                arr = _fake_decode(payload, meta)
                 bands = np.array_split(arr.ravel(), n_features)
                 feats = [float(b.mean()) for b in bands]
                 rows.append(
                     (
-                        r["media_ref"],
+                        ref,
                         len(payload),
                         hashlib.md5(payload).hexdigest(),
                         feats,

@@ -39,6 +39,16 @@ def tile_grid(rasters: DataFrame, with_footprint: bool = True) -> DataFrame:
     Output columns: doc_id, tile_row, tile_col, tile_w, tile_h,
     ordinal, media_ref [, minx, miny, maxx, maxy].
     """
+    # Fan out under-parallel inputs BEFORE the ×100 tile explode: a
+    # single-file parquet scan is ONE partition, and the entire
+    # fan-out (plus everything downstream until the next shuffle)
+    # would run in one task (measured 6-39s single-threaded for 2M
+    # tiles vs <2s fanned out). Shuffling the compact raster rows
+    # costs ~nothing; at real scale the scan already has thousands of
+    # splits and this is a no-op.
+    par = rasters.sparkSession.sparkContext.defaultParallelism
+    if rasters.rdd.getNumPartitions() < max(2, par // 2):
+        rasters = rasters.repartition(par)
     df = rasters.withColumn(
         "tile_row", F.explode(F.sequence(F.lit(0), F.col("height") - 1, F.col("stride")))
     ).withColumn(

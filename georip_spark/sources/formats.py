@@ -156,21 +156,28 @@ def voc_bbox_to_yolo(df: DataFrame) -> DataFrame:
 
 def yolo_label_lines(labels: DataFrame) -> DataFrame:
     """Compiled label rows → (filename, content): per-image label-file
-    text, lines ordered by (class_id, label); Background-only images
-    yield content='' (the reference writes an empty file,
-    georip/modeling/yolo/__init__.py:543-575)."""
+    text, lines ordered by (class_id, label); Background rows
+    (class_id < 0) contribute NO lines — an image with only Background
+    rows yields content='' (the reference writes an empty file and
+    never a background line, georip/modeling/yolo/__init__.py:543-575).
+
+    Shape: one filter + one groupBy over the labeled subset, then the
+    Background-only files come back via aggregating the FULL filename
+    list in the same pass (no second shuffle: both aggregates group on
+    filename, Catalyst plans them as one exchange)."""
     per_file = labels.groupBy("filename").agg(
         F.concat_ws(
             "\n",
-            F.array_sort(F.collect_list(F.struct("class_id", "label")))["label"],
-        ).alias("_all"),
-        F.max(F.col("class_id")).alias("_maxc"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("class_id") >= 0, F.struct("class_id", "label")
+                    )
+                )
+            )["label"],
+        ).alias("content"),
     )
-    # hmm: simpler — filter labeled lines, then left-join the file list
-    return per_file.select(
-        "filename",
-        F.when(F.col("_maxc") >= 0, F.col("_all")).otherwise(F.lit("")).alias("content"),
-    )
+    return per_file.select("filename", "content")
 
 
 def write_yolo_labels(labels: DataFrame, out_dir: str) -> None:

@@ -1,0 +1,101 @@
+"""kNN join exactness across escalation/tail paths (SURVEY.md J12).
+
+Round-2 change under test: the all-pairs tail broadcasts the SMALL
+remaining-left set (or goes fully distributed), never the right
+corpus — while staying exact on every path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from georip_spark.operators.joins import knn_join
+
+K = 3
+
+
+def _pts(n: int, salt: int) -> list[tuple[int, float, float]]:
+    # deterministic scatter with a dense cluster + sparse outliers
+    out = []
+    for i in range(n):
+        h = (i * 2654435761 + salt * 40503) % (1 << 20)
+        x = (h % 1024) / 1024.0 * 400.0
+        y = ((h // 1024) % 1024) / 1024.0 * 400.0
+        if i % 17 == 0:  # sparse far outliers → escalation/tail food
+            x += 4000.0 + i
+            y -= 3000.0
+        out.append((i, x, y))
+    return out
+
+
+def _brute(left, right, k=K):
+    want = {}
+    for lid, lx, ly in left:
+        cand = sorted(
+            (math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2), rid) for rid, rx, ry in right
+        )[:k]
+        want[lid] = [(rid, round(d, 9)) for d, rid in cand]
+    return want
+
+
+@pytest.fixture(scope="module")
+def knn_data(spark):
+    left = _pts(120, salt=1)
+    right = _pts(400, salt=2)
+    ldf = spark.createDataFrame(left, "event_id long, cx double, cy double")
+    rdf = spark.createDataFrame(right, "geom_id long, fx double, fy double")
+    return left, right, ldf, rdf
+
+
+def _check(df, want):
+    got: dict[int, list] = {}
+    for r in df.collect():
+        got.setdefault(r["event_id"], []).append((r["rn"], r["geom_id"], round(r["dist"], 9)))
+    assert set(got) == set(want)
+    for lid, rows in got.items():
+        rows.sort()
+        assert [(g, d) for _, g, d in rows] == want[lid], f"left {lid}"
+
+
+def test_knn_exact_default(knn_data):
+    left, right, ldf, rdf = knn_data
+    out = knn_join(ldf, rdf, k=K, res=12, ring=1,
+                   left_key="event_id", right_key="geom_id")
+    _check(out, _brute(left, right))
+
+
+def test_knn_forced_tail_broadcasts_left_not_right(knn_data):
+    """max_ring=1 forces the tail immediately after one disk pass; the
+    tail must stay exact with the remaining-left side broadcast."""
+    left, right, ldf, rdf = knn_data
+    out = knn_join(ldf, rdf, k=K, res=12, ring=1, max_ring=1,
+                   left_key="event_id", right_key="geom_id")
+    _check(out, _brute(left, right))
+    # plan hygiene: no broadcast of the full right side anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan or "fx" not in plan.split(
+        "BroadcastNestedLoopJoin"
+    )[0]
+
+
+def test_knn_distributed_tail_when_left_too_big(knn_data):
+    """broadcast_tail_rows=0 → fully distributed cartesian tail (the
+    memory-safe last resort); still exact."""
+    left, right, ldf, rdf = knn_data
+    out = knn_join(ldf, rdf, k=K, res=12, ring=1, max_ring=1,
+                   broadcast_tail_rows=0,
+                   left_key="event_id", right_key="geom_id")
+    _check(out, _brute(left, right))
+
+
+def test_knn_k_exceeds_right(spark):
+    """k > |right|: nothing is provable by rings; the tail must emit
+    all |right| neighbors per left."""
+    ldf = spark.createDataFrame([(0, 0.0, 0.0), (1, 9.0, 9.0)],
+                                "event_id long, cx double, cy double")
+    rdf = spark.createDataFrame([(10, 1.0, 1.0), (11, 2.0, 2.0)],
+                                "geom_id long, fx double, fy double")
+    out = knn_join(ldf, rdf, k=5, res=12, ring=1,
+                   left_key="event_id", right_key="geom_id").collect()
+    assert len(out) == 4  # 2 lefts × 2 available rights

@@ -37,6 +37,21 @@ class TestDissolve:
         assert big["geometry"].startswith("MULTIPOLYGON")
         assert big["minx"] == 0.0 and big["maxx"] == 30.0
 
+    def test_long_chain_converges(self, spark):
+        """Diameter-60 pairwise-overlap chain: plain min-propagation
+        needs 60 rounds; pointer-jumping must converge well inside
+        max_iter=20 and label everything as one component."""
+        from georip_spark.operators.dissolve import connected_components
+
+        n = 61
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        vertices = spark.range(n).withColumnRenamed("id", "geom_id")
+        out = connected_components(pairs, vertices, max_iter=20).collect()
+        assert len(out) == n
+        assert {r["component"] for r in out} == {0}
+
     def test_no_overlaps(self, spark):
         from georip_spark.operators.dissolve import dissolve
 
@@ -81,6 +96,35 @@ class TestLineage:
         # rerun: manifest timestamps unchanged → nothing recomputed
         store.run_stage(df, "st", "key", n_buckets=4)
         assert store.manifest("st") == m1
+
+    def test_committed_but_unmanifested_bucket_not_duplicated(self, spark, tmp_path):
+        """Crash window: parquet write committed, process died before
+        _save_manifest. A blind resume would re-append those rows;
+        the reconcile pass must drop the orphan dir first (exactly-once)."""
+        import json
+        import os
+
+        from georip_spark.lineage import StageStore
+
+        store = StageStore(str(tmp_path / "s3"))
+        df = spark.range(100).withColumn("key", F.col("id").cast("string"))
+        out1 = store.run_stage(df, "st", "key", n_buckets=4)
+        n1 = out1.count()
+
+        # simulate the crash: erase one bucket from the MANIFEST only,
+        # leaving its committed parquet dir on disk
+        mp = store.manifest_path("st")
+        m = json.loads(open(mp).read())
+        dropped = next(iter(m["buckets"]))
+        del m["buckets"][dropped]
+        open(mp, "w").write(json.dumps(m))
+        assert os.path.exists(
+            os.path.join(store.stage_dir("st"), f"_bucket={dropped}")
+        )
+
+        out2 = store.run_stage(df, "st", "key", n_buckets=4)
+        assert out2.count() == n1  # no duplicated rows
+        assert store.metrics("st")["rows"] == n1
 
 
 class TestSources:
@@ -153,11 +197,14 @@ class TestSources:
             ("a.png", 1, "1 0.5 0.5"),
             ("a.png", 0, "0 0.1 0.2"),
             ("bg.png", -1, None),
+            ("mix.png", -1, "-1 0.9 0.9"),  # background row WITH a label string
+            ("mix.png", 0, "0 0.3 0.3"),
         ]
         df = spark.createDataFrame(rows, "filename string, class_id int, label string")
         out = {r["filename"]: r["content"] for r in yolo_label_lines(df).collect()}
         assert out["a.png"] == "0 0.1 0.2\n1 0.5 0.5"  # sorted by class_id
         assert out["bg.png"] == ""  # background → empty file
+        assert out["mix.png"] == "0 0.3 0.3"  # background line never leaks
 
     def test_yaml_manifest(self, tmp_path):
         from georip_spark.sources.formats import write_yaml_manifest
