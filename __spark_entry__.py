@@ -904,16 +904,42 @@ def q28_dissolve_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = prepare_regions(rects, res=11)
     pairs = overlap_pairs(prepared, buffer=0.0, res=11)
     comps = connected_components(pairs, prepared.select("geom_id"))
-    member = prepared.select("geom_id", "s_suppkey").join(comps, "geom_id")
-    return (
-        member.groupBy("component")
-        .agg(
-            F.min("s_suppkey").alias("component_key"),
-            F.count("*").cast("long").alias("n_members"),
+    member = prepared.select("geom_id", "s_suppkey", "geometry").join(comps, "geom_id")
+
+    # per-component boolean-union area (A7 unary_union parity): exact
+    # slab-decomposition union over the member rectangles; the oracle
+    # recomputes it with SQL coordinate compression — integer coords ⇒
+    # exact doubles on both engines
+    import pandas as pd
+
+    from georip_spark.geo import boolean
+    from georip_spark.geo import wkt as W
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        mps = []
+        for g in pdf["geometry"]:
+            try:
+                mp = W.parse_wkt(g)
+            except (ValueError, IndexError):
+                mp = []
+            if mp:
+                mps.append(mp)
+        return pd.DataFrame(
+            [
+                {
+                    "component_key": int(pdf["s_suppkey"].min()),
+                    "n_members": len(pdf),
+                    "union_area": boolean.union_area(mps),
+                }
+            ]
         )
-        .select("component_key", "n_members")
-        .orderBy("component_key")
+
+    out = member.groupBy("component").applyInPandas(
+        agg, "component_key long, n_members long, union_area double"
     )
+    return out.select(
+        "component_key", "n_members", F.round("union_area", 2).alias("union_area")
+    ).orderBy("component_key")
 
 
 _Q28_SQL = f"""
@@ -929,9 +955,36 @@ _Q28_SQL = f"""
         UNION
         SELECT e.dst, reach.comp FROM reach JOIN e ON e.src = reach.id
     ),
-    lab AS (SELECT id, MIN(comp) AS component_key FROM reach GROUP BY id)
-    SELECT component_key, CAST(COUNT(*) AS BIGINT) AS n_members
-    FROM lab GROUP BY component_key ORDER BY component_key
+    lab AS (SELECT id, MIN(comp) AS component_key FROM reach GROUP BY id),
+    -- boolean-union area per component via coordinate compression:
+    -- member rect edges cut the component into grid cells; a cell is
+    -- covered iff some member spans it; union area = Σ covered cells.
+    -- Integer coords ⇒ every double is exact on both engines.
+    m AS (SELECT lab.component_key, r.* FROM r JOIN lab ON r.s_suppkey = lab.id),
+    xs0 AS (SELECT component_key, rminx AS x FROM m
+            UNION SELECT component_key, rmaxx FROM m),
+    xs AS (SELECT component_key, x AS x0,
+                  LEAD(x) OVER (PARTITION BY component_key ORDER BY x) AS x1
+           FROM xs0),
+    ys0 AS (SELECT component_key, rminy AS y FROM m
+            UNION SELECT component_key, rmaxy FROM m),
+    ys AS (SELECT component_key, y AS y0,
+                  LEAD(y) OVER (PARTITION BY component_key ORDER BY y) AS y1
+           FROM ys0),
+    cells AS (SELECT xs.component_key, x0, x1, y0, y1
+              FROM xs JOIN ys USING (component_key)
+              WHERE x1 IS NOT NULL AND y1 IS NOT NULL),
+    covered AS (SELECT DISTINCT c.component_key, c.x0, c.x1, c.y0, c.y1
+                FROM cells c JOIN m ON m.component_key = c.component_key
+                 AND m.rminx <= c.x0 AND m.rmaxx >= c.x1
+                 AND m.rminy <= c.y0 AND m.rmaxy >= c.y1),
+    ua AS (SELECT component_key,
+                  SUM((x1 - x0) * (y1 - y0)) AS union_area
+           FROM covered GROUP BY component_key)
+    SELECT lab.component_key, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(ANY_VALUE(ua.union_area), 2) AS union_area
+    FROM lab JOIN ua ON ua.component_key = lab.component_key
+    GROUP BY lab.component_key ORDER BY lab.component_key
 """
 
 

@@ -13,14 +13,21 @@ and re-attaches attributes from the first intersecting row
     3. per-component merge: grouped aggregation; geometry union is a
        per-component MultiPolygon assembly via grouped pandas UDF
 
-Note on union semantics: shapely's unary_union rewrites overlapping
-boundaries into a single polygon; this engine (no shapely, numpy-only
-kernels) represents the dissolved component as the MultiPolygon of
-its members. Component membership, attribute inheritance (first row
-by deterministic order — the reference's first-intersecting-match,
-georip/utils/pandas.py:128-131) and counts match the reference;
-boundary rewriting is a documented deviation (tracked for a
-Martinez-Rueda clipping kernel in a later round).
+Union semantics (upgraded round 2): the reference's unary_union
+rewrites overlapping boundaries into a single polygon
+(georip/utils/pandas.py:163-183). This engine now does true boolean
+union where it can prove exactness without shapely:
+
+- union AREA is always exact for arbitrary simple polygons
+  (geo/boolean.union_area slab decomposition) and emitted per
+  component as ``union_area`` — the measurable unary_union parity.
+- union GEOMETRY (boundary rewritten, holes included) is emitted when
+  every member is rectilinear (geo/boolean.rect_union — exact via
+  coordinate compression; covers clipped tile rects and vectorized
+  masks, the engine's dominant dissolve inputs). Non-rectilinear
+  components keep the member-MultiPolygon representation — a
+  remaining documented deviation, but one whose area column still
+  matches unary_union exactly.
 """
 
 from __future__ import annotations
@@ -160,14 +167,23 @@ def dissolve(
 
     member = prepared.join(comps, "geom_id")
 
+    from georip_spark.geo import boolean
+
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("geom_id").reset_index(drop=True)
-        polys = []
+        mps = []
         for g in pdf["geometry"]:
             try:
-                polys.extend(W.parse_wkt(g))
+                mp = W.parse_wkt(g)
             except (ValueError, IndexError):
-                pass
+                mp = []
+            if mp:
+                mps.append(mp)
+        area = boolean.union_area(mps)
+        if mps and all(boolean.is_rectilinear(mp) for mp in mps):
+            merged = boolean.rect_union(mps)     # true boolean union
+        else:
+            merged = [p for mp in mps for p in mp]  # member assembly
         first = pdf.iloc[0]
         return pd.DataFrame(
             [
@@ -175,7 +191,8 @@ def dissolve(
                     "component": first["component"],
                     "n_members": len(pdf),
                     "class_name": first.get("class_name"),
-                    "geometry": W.to_wkt(polys),
+                    "geometry": W.to_wkt(merged),
+                    "union_area": area,
                     "minx": float(pdf["minx"].min()),
                     "miny": float(pdf["miny"].min()),
                     "maxx": float(pdf["maxx"].max()),
@@ -186,6 +203,6 @@ def dissolve(
 
     schema = (
         "component long, n_members long, class_name string, geometry string, "
-        "minx double, miny double, maxx double, maxy double"
+        "union_area double, minx double, miny double, maxx double, maxy double"
     )
     return member.groupBy("component").applyInPandas(merge_group, schema)
