@@ -164,6 +164,48 @@ def clip_and_normalize(
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(T.StringType())
+def repair_geometry(geom_wkt: pd.Series) -> pd.Series:
+    """F14 geometry repair: dedup/close rings + buffer(0)-style
+    untwist of self-intersections + hole re-attachment
+    (geo/repair.py; reference georip/geometry/polygons.py:297-335).
+    Unparseable input → 'POLYGON EMPTY'."""
+    from georip_spark.geo import repair
+
+    out = []
+    for mp in _memo_parse(geom_wkt):
+        out.append(wkt.to_wkt(repair.repair_multipolygon(mp)))
+    return pd.Series(out)
+
+
+@pandas_udf(T.StringType())
+def transform_geometry(
+    geom_wkt: pd.Series, src_crs: pd.Series, dst_crs: pd.Series
+) -> pd.Series:
+    """CRS alignment column op (reference `to_crs`,
+    georip/geoprocessing/utils.py:425-427): every ring coordinate is
+    transformed src→dst (UTM zones via geo/crs.py numpy transverse
+    mercator). Identity CRSs short-circuit. One vectorized numpy pass
+    per geometry inside the Arrow batch."""
+    from georip_spark.geo import crs as C
+
+    mps = _memo_parse(geom_wkt)
+    out = []
+    for mp, s, d in zip(mps, src_crs, dst_crs):
+        if s == d or not mp:
+            out.append(wkt.to_wkt(mp))
+            continue
+        moved = [
+            [
+                np.column_stack(C.transform_xy(r[:, 0], r[:, 1], s, d))
+                for r in poly
+            ]
+            for poly in mp
+        ]
+        out.append(wkt.to_wkt(moved))
+    return pd.Series(out)
+
+
 # The functions are pure, but marking them non-deterministic stops
 # Catalyst from (a) duplicating an Arrow eval when a filter or a
 # struct-field expansion references its output and (b) hoisting it
@@ -172,6 +214,8 @@ def clip_and_normalize(
 # struct was expanded into bbox + cover branches).
 clip_and_normalize = clip_and_normalize.asNondeterministic()
 geom_bounds = geom_bounds.asNondeterministic()
+repair_geometry = repair_geometry.asNondeterministic()
+transform_geometry = transform_geometry.asNondeterministic()
 
 
 def geometry_stats(df, geom_col: str = "geometry"):

@@ -113,6 +113,23 @@ def from_docs(
     }
 
 
+def align_regions_to_crs(
+    regions: DataFrame, target_crs: str, crs_col: str = "crs"
+) -> DataFrame:
+    """CRS alignment before any spatial op (the reference's
+    `gdf.to_crs(raster_crs)`, georip/geoprocessing/utils.py:425-427,
+    georip/datasets/utils.py:249-251): rewrite geometries whose CRS
+    differs from the raster's, set the crs column to the target.
+    Identity rows short-circuit inside the UDF (no coordinate math),
+    so mixed-CRS inputs only pay for the rows that actually move."""
+    return regions.withColumn(
+        "geometry",
+        geom_udfs.transform_geometry(
+            F.col("geometry"), F.col(crs_col), F.lit(target_crs)
+        ),
+    ).withColumn(crs_col, F.lit(target_crs))
+
+
 def class_map(regions: DataFrame, keep_classes=DEFAULT_CLASSES) -> DataFrame:
     """Distinct kept class names → contiguous ids; Background := −1
     (get_mapped_classes, georip/modeling/yolo/__init__.py:142-174).

@@ -8,7 +8,8 @@ fresh JVM (subprocess) so nothing is shared. Efficiency =
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 
-Usage: python jobs/scaling_bench.py [n_docs]
+Usage: python jobs/scaling_bench.py [n_docs] [n_lo_cores]
+(pair = n_lo → 4·n_lo; default 4 → 16)
 """
 
 from __future__ import annotations
@@ -90,48 +91,46 @@ def cpu_control(n_procs: int, seconds: float = 2.0) -> float:
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 128000
-    lo = run_level(4, n_docs)
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_hi = 4 * n_lo
+    lo = run_level(n_lo, n_docs)
     print(json.dumps(lo))
-    hi = run_level(16, n_docs)
+    hi = run_level(n_hi, n_docs)
     print(json.dumps(hi))
     eff = (hi["spans_per_sec"] / lo["spans_per_sec"]) / 4.0
-    ctl_lo = max(cpu_control(4) for _ in range(2))
-    ctl_hi = max(cpu_control(16) for _ in range(2))
+    ctl_lo = max(cpu_control(n_lo) for _ in range(2))
+    ctl_hi = max(cpu_control(n_hi) for _ in range(2))
     hw_ceiling = (ctl_hi / ctl_lo) / 4.0
     eff_med = (hi["spans_per_sec_median"] / lo["spans_per_sec_median"]) / 4.0
-    summary = {"N_cores": 4, "4N_cores": 16, "n_docs": n_docs,
+    summary = {"N_cores": n_lo, "4N_cores": n_hi, "n_docs": n_docs,
                "throughput_N": lo["spans_per_sec"],
                "throughput_4N": hi["spans_per_sec"],
                "scaling_efficiency": round(eff, 3),
                "scaling_efficiency_median": round(eff_med, 3),
-               "hw_ceiling_4_to_16": round(hw_ceiling, 3),
+               "hw_ceiling": round(hw_ceiling, 3),
                "engine_vs_hw_ceiling": round(eff / hw_ceiling, 3),
                "all_runs_N": lo["all_runs_sec"], "all_runs_4N": hi["all_runs_sec"]}
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured numbers
-
-Headline metric (BASELINE.json): spans tiled + PIP-joined per second
-on the synthetic interleaved-docs table; scaling efficiency N → 4N.
-
-Sandbox proxy per driver instruction: same job, same input, two
+    section = f"""Sandbox proxy per driver instruction: same job, same input, two
 parallelism levels in fresh JVMs.
 
 | config | docs | spans | best (s) | all runs (s) | spans/s (best) |
 |---|---|---|---|---|---|
-| local[4] (N) | {lo['n_docs']} | {lo['spans']} | {lo['sec']} | {lo['all_runs_sec']} | {lo['spans_per_sec']} |
-| local[16] (4N) | {hi['n_docs']} | {hi['spans']} | {hi['sec']} | {hi['all_runs_sec']} | {hi['spans_per_sec']} |
+| local[{n_lo}] (N) | {lo['n_docs']} | {lo['spans']} | {lo['sec']} | {lo['all_runs_sec']} | {lo['spans_per_sec']} |
+| local[{n_hi}] (4N) | {hi['n_docs']} | {hi['spans']} | {hi['sec']} | {hi['all_runs_sec']} | {hi['spans_per_sec']} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 =
 {summary['scaling_efficiency']} (best-run); {summary['scaling_efficiency_median']} (median)**
 (target ≥ 0.8 per north_rule).
 
 **Hardware control**: a pure-CPU multiprocessing burn (no Spark)
-scales only {summary['hw_ceiling_4_to_16']*4:.2f}× from 4 to 16
-processes on this VM — a {summary['hw_ceiling_4_to_16']} efficiency
-ceiling that no software can exceed here. The engine achieves
+scales {summary['hw_ceiling']*4:.2f}× from {n_lo} to {n_hi}
+processes on this VM at measurement time — a {summary['hw_ceiling']}
+efficiency ceiling that no software can exceed here (the ceiling
+itself swings with neighbor load; it has measured 0.74–0.90 across
+sessions). The engine achieves
 **{summary['engine_vs_hw_ceiling']:.0%} of the hardware's own
 ceiling**; on a real cluster with independent executors the 0.8
 target applies to hardware that actually scales.
@@ -146,8 +145,26 @@ join/clip stage running all cores with balanced tasks; three
 single-task bottlenecks found and fixed during this round are
 documented in NOTES.md).
 
-Reproduce: `python jobs/scaling_bench.py {n_docs}`
-""")
+Reproduce: `python jobs/scaling_bench.py {n_docs} {n_lo}`
+"""
+    begin = "<!-- SCALING:BEGIN (auto-written by jobs/scaling_bench.py) -->"
+    end = "<!-- SCALING:END -->"
+    path = "BENCH/BASELINE.md"
+    # replace only the marker-delimited scaling section so the headline
+    # bench / skew sections maintained by hand survive re-runs
+    if os.path.exists(path):
+        text = open(path).read()
+    else:
+        text = ("# BENCH/BASELINE — measured numbers\n\n"
+                f"{begin}\n{end}\n")
+    if begin in text and end in text:
+        pre, rest = text.split(begin, 1)
+        _, post = rest.split(end, 1)
+        text = pre + begin + "\n" + section + end + post
+    else:
+        text += "\n" + begin + "\n" + section + end + "\n"
+    with open(path, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

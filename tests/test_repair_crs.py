@@ -1,0 +1,163 @@
+"""F14 geometry repair + CRS transform tests.
+
+repair: reference chain normalize / remove_repeated_points /
+buffer(0) (georip/geometry/polygons.py:297-335). crs: `to_crs`
+alignment (georip/geoprocessing/utils.py:425-427) via the numpy
+transverse-mercator kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from georip_spark.geo import crs as C
+from georip_spark.geo import kernels, repair
+from georip_spark.geo import wkt as W
+
+
+def ring(*pts):
+    return np.asarray(list(pts) + [pts[0]], dtype=np.float64)
+
+
+class TestRepair:
+    def test_dedup_repeated_points(self):
+        r = np.asarray(
+            [[0, 0], [0, 0], [4, 0], [4, 4], [4, 4], [4, 4], [0, 4], [0, 0]],
+            dtype=np.float64,
+        )
+        out = repair.dedup_ring(r)
+        assert len(out) == 5 and np.array_equal(out[0], out[-1])
+
+    def test_degenerate_to_none(self):
+        r = np.asarray([[1, 1], [1, 1], [1, 1]], dtype=np.float64)
+        assert repair.dedup_ring(r) is None
+
+    def test_bowtie_untwists_to_two_triangles(self):
+        bow = ring((0, 0), (1, 1), (1, 0), (0, 1))  # crossing at (.5,.5)
+        out = repair.repair_multipolygon([[bow]])
+        assert len(out) == 2
+        areas = sorted(abs(kernels.ring_area(p[0])) for p in out)
+        assert areas == pytest.approx([0.25, 0.25])
+        # total repaired area == even-odd area of the original bowtie
+        total = sum(kernels.multipolygon_area(p_) for p_ in ([p] for p in out))
+        assert total == pytest.approx(0.5)
+
+    def test_simple_ring_unchanged(self):
+        sq = ring((0, 0), (4, 0), (4, 4), (0, 4))
+        out = repair.repair_multipolygon([[sq]])
+        assert len(out) == 1
+        assert abs(kernels.ring_area(out[0][0])) == pytest.approx(16.0)
+
+    def test_hole_reattached(self):
+        shell = ring((0, 0), (10, 0), (10, 10), (0, 10))
+        hole = ring((4, 4), (6, 4), (6, 6), (4, 6))
+        out = repair.repair_multipolygon([[shell, hole]])
+        assert len(out) == 1 and len(out[0]) == 2
+        assert kernels.polygon_area(out[0]) == pytest.approx(96.0)
+
+    def test_orphan_hole_dropped(self):
+        shell = ring((0, 0), (2, 0), (2, 2), (0, 2))
+        far_hole = ring((40, 40), (41, 40), (41, 41), (40, 41))
+        out = repair.repair_multipolygon([[shell, far_hole]])
+        assert len(out) == 1 and len(out[0]) == 1
+
+    def test_repair_udf_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from georip_spark.operators.geom_udfs import repair_geometry
+
+        rows = [
+            ("POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))",),   # bowtie
+            ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",),   # valid
+            ("POLYGON EMPTY",),
+        ]
+        df = spark.createDataFrame(rows, "geometry string")
+        got = [r["fixed"] for r in df.select(
+            repair_geometry(F.col("geometry")).alias("fixed")).collect()]
+        assert got[0].startswith("MULTIPOLYGON")   # two triangles
+        assert got[1].startswith("POLYGON")
+        assert got[2] == "POLYGON EMPTY"
+        # repaired bowtie parses and has the even-odd area
+        assert kernels.multipolygon_area(W.parse_wkt(got[0])) == pytest.approx(0.5)
+
+
+class TestCrs:
+    def test_central_meridian_easting(self):
+        # on a zone's central meridian the easting is exactly FE=500000
+        x, y = C.geographic_to_utm(np.asarray([-123.0]), np.asarray([45.0]), zone=10)
+        assert x[0] == pytest.approx(500000.0, abs=1e-6)
+        assert 4_900_000 < y[0] < 5_000_000  # ~45°N northing
+
+    def test_roundtrip_zone10(self):
+        lons = np.linspace(-125.9, -120.1, 13)
+        lats = np.linspace(0.5, 83.0, 13)
+        x, y = C.geographic_to_utm(lons, lats, zone=10)
+        lon2, lat2 = C.utm_to_geographic(x, y, zone=10)
+        assert np.allclose(lons, lon2, atol=1e-9)
+        assert np.allclose(lats, lat2, atol=1e-9)
+
+    def test_zone_to_zone_consistency(self):
+        # a point in the 32610/32611 overlap area maps consistently:
+        # 10→11 then 11→10 returns the original coordinates
+        x = np.asarray([700000.0])  # east edge of zone 10 ≈ zone 11 west
+        y = np.asarray([4_000_000.0])
+        x11, y11 = C.transform_xy(x, y, "EPSG:32610", "EPSG:32611")
+        x10, y10 = C.transform_xy(x11, y11, "EPSG:32611", "EPSG:32610")
+        # zone 11's representation of this point sits 340 km from its
+        # central meridian — the Snyder series is cm-accurate there
+        assert x10[0] == pytest.approx(x[0], abs=0.01)
+        assert y10[0] == pytest.approx(y[0], abs=0.01)
+
+    def test_southern_hemisphere_false_northing(self):
+        x, y = C.geographic_to_utm(
+            np.asarray([-123.0]), np.asarray([-10.0]), zone=10, north=False
+        )
+        assert y[0] > 8_000_000  # false northing applied
+        lon, lat = C.utm_to_geographic(x, y, zone=10, north=False)
+        assert lat[0] == pytest.approx(-10.0, abs=1e-9)
+
+    def test_parse_epsg(self):
+        assert C.parse_epsg_utm("EPSG:32610") == (10, True)
+        assert C.parse_epsg_utm("EPSG:32733") == (33, False)
+        with pytest.raises(ValueError):
+            C.parse_epsg_utm("EPSG:4326")
+
+    def test_align_regions_to_crs(self, spark):
+        from georip_spark.pipeline import align_regions_to_crs
+
+        wkt_in = "POLYGON ((700000 4000000, 701000 4000000, 701000 4001000, 700000 4001000, 700000 4000000))"
+        df = spark.createDataFrame(
+            [("a", wkt_in, "EPSG:32611"), ("b", wkt_in, "EPSG:32610")],
+            "name string, geometry string, crs string",
+        )
+        got = {r["name"]: r for r in align_regions_to_crs(df, "EPSG:32610").collect()}
+        assert got["a"]["crs"] == got["b"]["crs"] == "EPSG:32610"
+        assert got["b"]["geometry"] == wkt_in          # identity row untouched
+        assert got["a"]["geometry"] != wkt_in          # moved row rewritten
+        moved = W.parse_wkt(got["a"]["geometry"])[0][0]
+        assert moved[0, 0] > 1_000_000                 # zone-11 point seen from zone 10
+
+    def test_transform_geometry_udf(self, spark):
+        from pyspark.sql import functions as F
+
+        from georip_spark.operators.geom_udfs import transform_geometry
+
+        wkt_in = "POLYGON ((700000 4000000, 701000 4000000, 701000 4001000, 700000 4001000, 700000 4000000))"
+        df = spark.createDataFrame(
+            [(wkt_in, "EPSG:32610", "EPSG:32611"), (wkt_in, "EPSG:32610", "EPSG:32610")],
+            "geometry string, src string, dst string",
+        )
+        got = [r["g2"] for r in df.select(
+            transform_geometry("geometry", "src", "dst").alias("g2")).collect()]
+        moved = W.parse_wkt(got[0])[0][0]
+        orig = W.parse_wkt(wkt_in)[0][0]
+        # identity path byte-stable
+        assert np.allclose(W.parse_wkt(got[1])[0][0], orig)
+        # zone 11 easting of a zone-10 point near the boundary is far
+        # west of the zone-11 central meridian → much smaller easting
+        assert moved[0, 0] < 300000
+        # area is nearly preserved (scale distortion ≪ 1%)
+        a0 = abs(kernels.ring_area(orig))
+        a1 = abs(kernels.ring_area(moved))
+        assert a1 == pytest.approx(a0, rel=5e-3)
