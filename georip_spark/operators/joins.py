@@ -124,6 +124,16 @@ def spatial_join_tiles_regions(
 
     if broadcast_regions:
         build = F.broadcast(build)
+    else:
+        # Non-broadcast strategy: SHUFFLE_HASH, not sort-merge. The
+        # build side (regions × cover cells) is orders of magnitude
+        # smaller than the probe per join key, so hashing it per
+        # partition beats sorting BOTH sides — and unlike broadcast
+        # there is no driver-serial relation build (measured: the
+        # broadcast build of ~200k exploded regions is a ~14s
+        # Amdahl term that caps N→4N scaling efficiency at ~0.6,
+        # while shuffle-hash scaled at 0.80 in the same harness).
+        build = build.hint("shuffle_hash")
 
     cand = probe.join(build, on=join_keys, how="inner")
 

@@ -56,6 +56,17 @@ def synth_rasters(
     # at generation time only.
     from pyspark.sql.window import Window
 
+    # Pre-partition the window exchange explicitly: left to AQE, this
+    # few-MB shuffle coalesces to ONE partition and the window (plus
+    # everything Catalyst collapses into its stage) runs as a 2-3s
+    # single-task stage on the critical path of EVERY action over the
+    # generated table — a fixed serial term that caps N→4N scaling. A
+    # user repartition is exempt from AQE coalescing and already
+    # satisfies the window's hashpartitioning(region_id) requirement,
+    # so no second exchange is added.
+    df = df.repartition(
+        4 * spark.sparkContext.defaultParallelism, "region_id"
+    )
     w = Window.partitionBy("region_id").orderBy("id")
     df = df.withColumn("ord", F.row_number().over(w))
     df = df.withColumn("start_year", (F.lit(2019) + F.col("ord") - 1).cast("int"))
@@ -117,7 +128,11 @@ def synth_rasters(
     # explode (tiles ×100, covers ×4) then runs single-threaded —
     # observed as a 15s serial stage dominating the pipeline's
     # critical path. A user repartition is exempt from AQE coalescing.
-    par = spark.sparkContext.defaultParallelism
+    # 4× cores: the downstream tile/cover explode + clip stage runs
+    # ~1-3s per slice, so 4 waves of finer tasks pack the cores far
+    # better than one wave of huge ones (measured 78% → ~95% stage
+    # utilization at local[16]); per-task overhead is ~50ms, noise.
+    par = 4 * spark.sparkContext.defaultParallelism
     return out.repartition(par, "doc_id")
 
 
