@@ -29,6 +29,16 @@ SEED = 42
 _BIG = 1 << 30
 
 
+def _fanout_partitions(spark: SparkSession, n_docs: int) -> int:
+    """Partition count for the generator fan-out: ≥1 wave of tasks,
+    up to 4 waves when the input is big enough that each slice still
+    holds ≥~500 docs (a few seconds of downstream explode+clip work).
+    Explicit (user) repartitions are exempt from AQE coalescing, which
+    otherwise funnels these few-MB pre-fan-out shuffles into one task."""
+    par = spark.sparkContext.defaultParallelism
+    return max(par, min(4 * par, (n_docs + 499) // 500))
+
+
 def _u(col, tag: int):
     """Deterministic uniform [0,1) from a column + tag."""
     return (F.pmod(F.xxhash64(col, F.lit(SEED), F.lit(tag)), F.lit(_BIG)) / F.lit(_BIG))
@@ -64,9 +74,7 @@ def synth_rasters(
     # user repartition is exempt from AQE coalescing and already
     # satisfies the window's hashpartitioning(region_id) requirement,
     # so no second exchange is added.
-    df = df.repartition(
-        4 * spark.sparkContext.defaultParallelism, "region_id"
-    )
+    df = df.repartition(_fanout_partitions(spark, n_docs), "region_id")
     w = Window.partitionBy("region_id").orderBy("id")
     df = df.withColumn("ord", F.row_number().over(w))
     df = df.withColumn("start_year", (F.lit(2019) + F.col("ord") - 1).cast("int"))
@@ -128,12 +136,14 @@ def synth_rasters(
     # explode (tiles ×100, covers ×4) then runs single-threaded —
     # observed as a 15s serial stage dominating the pipeline's
     # critical path. A user repartition is exempt from AQE coalescing.
-    # 4× cores: the downstream tile/cover explode + clip stage runs
-    # ~1-3s per slice, so 4 waves of finer tasks pack the cores far
-    # better than one wave of huge ones (measured 78% → ~95% stage
-    # utilization at local[16]); per-task overhead is ~50ms, noise.
-    par = 4 * spark.sparkContext.defaultParallelism
-    return out.repartition(par, "doc_id")
+    # Up to 4× cores: the downstream tile/cover explode + clip stage
+    # runs ~1-3s per 500-doc slice, so 4 waves of finer tasks pack the
+    # cores far better than one wave of huge ones (measured 78% → ~95%
+    # stage utilization at local[16]) — but capped by input size so a
+    # small run doesn't shatter into sub-batch tasks whose Arrow
+    # round-trip overhead dominates (128 partitions of 31 docs tripled
+    # the SF=0.1 pipeline time).
+    return out.repartition(_fanout_partitions(spark, n_docs), "doc_id")
 
 
 def synth_regions(
