@@ -723,15 +723,20 @@ _Q23_SQL = "\n    SELECT CAST(doc_id AS BIGINT) AS doc_id,\n           ROUND(LEA
 
 def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: 8-plane LSH bucket join + exact
-    cosine verification within buckets. All math on integer-quantized
-    components (floor(v·10⁴+0.5)) so signature signs and cosines are
-    bit-identical across engines (round-1's q24 hash fail was the
-    double fold-order ULP)."""
+    verification within buckets. All math on integer-quantized
+    components (floor(v·10⁴+0.5)), and the output carries the EXACT
+    long columns (dot_q, na2_q, nb2_q) rather than a derived double
+    cosine — round-2's last red hash cell was Spark's BigDecimal vs
+    DuckDB's float ROUND differing in the final ULP on boundary
+    values; integers hash bit-identically everywhere. cosine =
+    dot_q/√(na2_q·nb2_q) is recoverable by any consumer."""
     from georip_spark.operators.similarity import lsh_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     return (
-        lsh_neardup_pairs(e, "vec_id", "embedding", threshold=-1.0, n_planes=8)
+        lsh_neardup_pairs(
+            e, "vec_id", "embedding", threshold=-1.0, n_planes=8, exact_cols=True
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -754,15 +759,15 @@ def _q24_sql() -> str:
     sigs2 AS (SELECT *, COUNT(*) OVER (PARTITION BY sig) AS bc FROM sigs),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
-                         x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
-                 / (sqrt(CAST(list_sum(list_transform(a.qe, v -> v * v)) AS DOUBLE))
-                  * sqrt(CAST(list_sum(list_transform(b.qe, v -> v * v)) AS DOUBLE))), 4) AS cosine
+               CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                         x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS dot_q,
+               CAST(list_sum(list_transform(a.qe, v -> v * v)) AS BIGINT) AS na2_q,
+               CAST(list_sum(list_transform(b.qe, v -> v * v)) AS BIGINT) AS nb2_q
         FROM sigs2 a JOIN sigs2 b ON a.sig = b.sig
              AND a.vec_id % GREATEST(1, CAST(CEIL(a.bc / 1000.0) AS BIGINT))
                = b.vec_id % GREATEST(1, CAST(CEIL(a.bc / 1000.0) AS BIGINT))
         WHERE a.vec_id < b.vec_id)
-    SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b
+    SELECT id_a, id_b, dot_q, na2_q, nb2_q FROM pairs ORDER BY id_a, id_b
 """
 
 

@@ -142,6 +142,7 @@ def lsh_neardup_pairs(
     round_to: int = 4,
     scale: int = QUANT_SCALE,
     bucket_cap: int = 1000,
+    exact_cols: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket on the hyperplane signature of
     the quantized embedding, exact-cosine verify within buckets.
@@ -159,7 +160,17 @@ def lsh_neardup_pairs(
     ~bucket_cap rows at the cost of missing pairs that straddle
     sub-buckets (disclosed recall trade; audit with lsh_bucket_stats).
     The sub-split key is derived from the id, not a random salt, so
-    results stay deterministic and oracle-reproducible."""
+    results stay deterministic and oracle-reproducible.
+
+    Threshold semantics: the cutoff is applied as the EXACT integer
+    predicate  dot≥0 ∧ 1e8·dot² ≥ t4²·na2·nb2  (t4 = round(t·1e4),
+    DECIMAL(38,0) arithmetic — no doubles, so the kept pair-set is
+    bit-identical on any engine; for t<0 the disjunctive mirror keeps
+    cosine ≥ t exactly). With ``exact_cols=True`` the output carries
+    the exact long columns (dot_q, na2_q, nb2_q) instead of a derived
+    double ``cosine`` — use this whenever downstream comparison must
+    be bit-exact (Spark rounds doubles through Java BigDecimal, DuckDB
+    through float multiply-shift; the two differ in the last ULP)."""
     sigs = df.select(
         F.col(id_col).alias("_id"),
         quantize(F.col(vec_col), scale).alias("_q"),
@@ -173,21 +184,69 @@ def lsh_neardup_pairs(
             F.lit(1).cast("long"),
             F.ceil(F.count("*").over(wb) / F.lit(bucket_cap)).cast("long"),
         ),
-    ).withColumn("sub", F.pmod(F.col("_id").cast("long"), F.col("_k")))
+    )
+    # Sub-split key: only hot buckets (_k > 1) need one. The id must
+    # cast to long for the mod to be deterministic AND oracle-portable
+    # (the SQL mirror is `id % k`); a non-castable id would turn the
+    # key null and silently drop every hot-bucket pair — fail loudly
+    # instead (raise_error fires only on hot-bucket rows with a null
+    # cast, so string-digit ids and cold corpora still work).
+    idl = F.col("_id").cast("long")
+    sigs = sigs.withColumn(
+        "sub",
+        F.when(F.col("_k") <= 1, F.lit(0).cast("long")).otherwise(
+            F.pmod(
+                F.coalesce(
+                    idl,
+                    F.raise_error(
+                        f"lsh_neardup_pairs: id_col '{id_col}' must cast to long "
+                        "for the deterministic hot-bucket sub-split"
+                    ).cast("long"),
+                ),
+                F.col("_k"),
+            )
+        ),
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     na2 = int_dot(F.col("a._q"), F.col("a._q"))
     nb2 = int_dot(F.col("b._q"), F.col("b._q"))
-    return (
+    pairs = (
         a.join(b, ["sig", "sub"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(
-                int_dot(F.col("a._q"), F.col("b._q")).cast("double")
-                / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))),
-                round_to,
-            ).alias("cosine"),
+            int_dot(F.col("a._q"), F.col("b._q")).alias("dot_q"),
+            na2.alias("na2_q"),
+            nb2.alias("nb2_q"),
         )
-        .filter(F.col("cosine") >= threshold)
+    )
+    # exact integer threshold: cosine ≥ t  ⟺  dot ≥ t·√(na2·nb2);
+    # squared with t quantized to 1e-4 — all DECIMAL(38,0), no doubles
+    t4 = int(round(threshold * 10000))
+    dec = "decimal(38,0)"
+    dd = F.col("dot_q").cast(dec)
+    lhs = dd * dd * F.lit(10 ** 8).cast(dec)
+    rhs = (
+        F.lit(t4 * t4).cast(dec)
+        * F.col("na2_q").cast(dec)
+        * F.col("nb2_q").cast(dec)
+    )
+    if t4 >= 0:
+        pairs = pairs.filter((F.col("dot_q") >= 0) & (lhs >= rhs))
+    else:
+        pairs = pairs.filter((F.col("dot_q") >= 0) | (lhs <= rhs))
+    if exact_cols:
+        return pairs
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("dot_q").cast("double")
+            / (
+                F.sqrt(F.col("na2_q").cast("double"))
+                * F.sqrt(F.col("nb2_q").cast("double"))
+            ),
+            round_to,
+        ).alias("cosine"),
     )
