@@ -38,10 +38,15 @@ MultiPolygon = list  # list[polygon]; polygon = list[ring]; ring = (n,2) ndarray
 
 def _edges_of(mps: list[MultiPolygon]) -> tuple[np.ndarray, np.ndarray]:
     """All edges of all polygons as (E,4) [x0,y0,x1,y1] plus an (E,)
-    polygon index (even-odd parity is tracked per polygon; holes are
-    just more edges of the same polygon — even-odd handles them)."""
+    owner index. The owner is assigned PER POLYGON, not per input
+    multipolygon: polygons of one multipolygon combine by OR (matching
+    points_in_multipolygon / rect_union), so two overlapping polygons
+    inside one member must not cancel each other's parity. Holes are
+    rings of their polygon, so even-odd per polygon still carves them
+    out."""
     segs, owner = [], []
-    for pi, mp in enumerate(mps):
+    k = 0
+    for mp in mps:
         for poly in mp:
             for ring in poly:
                 a = np.asarray(ring, dtype=np.float64)
@@ -49,7 +54,8 @@ def _edges_of(mps: list[MultiPolygon]) -> tuple[np.ndarray, np.ndarray]:
                     continue
                 s = np.column_stack([a[:-1], a[1:]])
                 segs.append(s)
-                owner.append(np.full(len(s), pi))
+                owner.append(np.full(len(s), k))
+            k += 1
     if not segs:
         return np.zeros((0, 4)), np.zeros((0,), dtype=int)
     return np.vstack(segs), np.concatenate(owner)

@@ -94,7 +94,15 @@ class StageStore:
         for entry in os.listdir(self.stage_dir(name)):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
-            b = int(entry.split("=", 1)[1])
+            try:
+                b = int(entry.split("=", 1)[1])
+            except ValueError:
+                # Spark writes `_bucket=__HIVE_DEFAULT_PARTITION__` for
+                # null keys (key_col had nulls). Not a committed bucket
+                # of ours — treat as orphan so resume never crashes on
+                # it and the rows are recomputed under a real bucket.
+                shutil.rmtree(os.path.join(self.stage_dir(name), entry))
+                continue
             if b not in done:
                 shutil.rmtree(os.path.join(self.stage_dir(name), entry))
         missing = [b for b in range(n_buckets) if b not in done]

@@ -321,6 +321,11 @@ def knn_join(
     (never the right corpus, which may be fact-table-sized — the
     round-1 driver-OOM risk). The per-pass count() actions are on the
     already-checkpointed top-k, not recomputed joins."""
+    if escalate < 2:
+        raise ValueError(
+            f"knn_join: escalate must be >= 2 (got {escalate}) — the ring "
+            "must grow between passes or the escalation loop cannot terminate"
+        )
     lx, ly = (F.col(c) for c in left_xy)
     rx, ry = (F.col(c) for c in right_xy)
 

@@ -57,6 +57,25 @@ class TestUnionArea:
         a = rect(0, 0, 7, 3)
         assert boolean.union_area([a, a, a]) == pytest.approx(21.0)
 
+    def test_overlap_within_one_member(self):
+        # two overlapping polygons INSIDE one multipolygon member must
+        # combine by OR, not cancel by shared even-odd parity — this is
+        # exactly the shape dissolve's non-rectilinear fallback emits
+        # (member-assembly MultiPolygons with overlapping polygons)
+        a = rect(0, 0, 2, 2)[0][0]
+        b = rect(1, 1, 3, 3)[0][0]
+        one_member = [[[a], [b]]]
+        two_members = [[[a]], [[b]]]
+        assert boolean.union_area(one_member) == pytest.approx(7.0)
+        assert boolean.union_area(one_member) == pytest.approx(
+            boolean.union_area(two_members)
+        )
+
+    def test_hole_within_one_member_still_carved(self):
+        outer = rect(0, 0, 4, 4)[0][0]
+        hole = rect(1, 1, 3, 3)[0][0]
+        assert boolean.union_area([[[outer, hole]]]) == pytest.approx(12.0)
+
     def test_triangles_crossing(self):
         # two triangles forming a star-of-David-ish overlap; area by
         # inclusion-exclusion: each 0.5*8*8=32; intersection is the

@@ -99,3 +99,12 @@ def test_knn_k_exceeds_right(spark):
     out = knn_join(ldf, rdf, k=5, res=12, ring=1,
                    left_key="event_id", right_key="geom_id").collect()
     assert len(out) == 4  # 2 lefts × 2 available rights
+
+
+def test_knn_escalate_must_grow(knn_data):
+    """escalate <= 1 can never terminate the escalation loop — it must
+    be rejected up front, before any Spark job runs."""
+    _, _, ldf, rdf = knn_data
+    with pytest.raises(ValueError, match="escalate"):
+        knn_join(ldf, rdf, k=K, escalate=1,
+                 left_key="event_id", right_key="geom_id")

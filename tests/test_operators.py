@@ -126,6 +126,25 @@ class TestLineage:
         assert out2.count() == n1  # no duplicated rows
         assert store.metrics("st")["rows"] == n1
 
+    def test_hive_default_partition_dir_does_not_crash_resume(self, spark, tmp_path):
+        """Spark writes `_bucket=__HIVE_DEFAULT_PARTITION__` when the
+        bucket key is null; the orphan-reconcile pass must treat the
+        unparseable dir as an orphan (drop it), not crash every resume
+        with ValueError."""
+        import os
+
+        from georip_spark.lineage import StageStore
+
+        store = StageStore(str(tmp_path / "s4"))
+        df = spark.range(50).withColumn("key", F.col("id").cast("string"))
+        out1 = store.run_stage(df, "st", "key", n_buckets=4)
+        n1 = out1.count()
+        bad = os.path.join(store.stage_dir("st"), "_bucket=__HIVE_DEFAULT_PARTITION__")
+        os.makedirs(bad)
+        out2 = store.run_stage(df, "st", "key", n_buckets=4)
+        assert out2.count() == n1
+        assert not os.path.exists(bad)
+
 
 class TestSources:
     def test_coco_roundtrip(self, spark, tmp_path):
