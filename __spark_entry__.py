@@ -1105,6 +1105,153 @@ def _q30_sql() -> str:
 _Q30_SQL = _q30_sql()
 
 
+def _regions_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic truth regions for the span-parity queries: two
+    axis-aligned rects per part-derived raster, placed inside the
+    raster extent with pure integer arithmetic (mirrored in the
+    oracle's SQL). Every third (part, j) is Background — exercising
+    the class-encode drop path."""
+    p = _t(spark, sf_dir, "part")
+    pk, jj = F.col("p_partkey"), F.col("j")
+    wd = F.lit(256) + (pk % 8) * 128
+    ht = F.lit(256) + (F.col("p_size") % 8) * 128
+    r = p.select(
+        "p_partkey", "p_size", F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+    )
+    rx0 = (pk % 64) * 5000.0 + ((pk * 31 + jj * 97) % (wd - 64)).cast("double")
+    ry1 = F.floor(pk / 64) * 5000.0 - ((pk * 17 + jj * 53) % (ht - 64)).cast("double")
+    sx = (F.lit(48) + ((pk + jj) % 5) * 40).cast("double")
+    sy = (F.lit(48) + ((pk * 3 + jj) % 7) * 24).cast("double")
+    return r.select(
+        F.concat(F.lit("Part"), pk.cast("string")).alias("region"),
+        F.lit(2019).alias("start_year"),
+        F.lit(2020).alias("end_year"),
+        F.when((pk + jj) % 3 == 0, "Background").otherwise("Treatment").alias("class_name"),
+        F.format_string(
+            "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            rx0, ry1 - sy, rx0 + sx, ry1 - sy, rx0 + sx, ry1, rx0, ry1, rx0, ry1 - sy,
+        ).alias("geometry"),
+    )
+
+
+def _spans_of(docs_out: DataFrame) -> DataFrame:
+    """Explode docs(doc_id, spans) to one row per span — the per-row
+    form of the BASELINE.json invariant (kind, text, media_ref, order)."""
+    s = docs_out.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.offset").alias("pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    ).orderBy("doc_id", "pos")
+
+
+def q31_spans_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.json per-row correctness gate, driver-checked: the
+    FULL span sequence (kind, text, media_ref, order) emitted by the
+    contract docs-input path (pipeline.from_docs), one row per span.
+    The oracle derives the complete expected sequence independently in
+    SQL — tile grid, per-part truth rects, Sutherland–Hodgman clip
+    vertex order (BL-start CCW, rotated to BR-start iff the region's
+    bottom edge is clipped), banker's-rounded fmt6 label text, and the
+    composite (ordinal, kind, class, label) span ordering."""
+    from georip_spark import synth
+    from georip_spark.pipeline import from_docs
+
+    rasters = _rasters_from_part(spark, sf_dir)
+    docs = synth.synth_docs(spark, rasters)
+    regions = _regions_from_part(spark, sf_dir)
+    return _spans_of(from_docs(docs, rasters, regions)["docs_out"])
+
+
+def q32_spans_build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-row span-sequence invariant for the raster-driven
+    path (pipeline.build_dataset), against the SAME oracle SQL — both
+    entry paths pinned per-row to one independent derivation, which
+    implies from_docs ≡ build_dataset span-for-span."""
+    from georip_spark.pipeline import build_dataset
+
+    rasters = _rasters_from_part(spark, sf_dir)
+    regions = _regions_from_part(spark, sf_dir)
+    return _spans_of(build_dataset(rasters, regions)["docs_out"])
+
+
+def _q31_sql() -> str:
+    # fmt6 mirror: the engine's clip kernel rounds with np.round
+    # (banker's) and fmt6 strips trailing zeros — round_even + printf
+    # reproduce both; values are exact dyadic ratios (integer coords /
+    # power-of-two tile sizes), so the rounding ties agree bit-for-bit
+    def f6(x: str) -> str:
+        return (
+            "regexp_replace(regexp_replace(printf('%.6f', round_even(CAST("
+            + x
+            + " AS DOUBLE), 6)), '0+$', ''), '\\.$', '.0')"
+        )
+
+    uL, uR = "((ix0 - tminx) / tw)", "((ix1 - tminx) / tw)"
+    vB, vT = "((tmaxy - iy0) / th)", "((tmaxy - iy1) / th)"
+
+    def seq(pts: list[str]) -> str:
+        return " || ' ' || ".join(f6(p) for p in pts)
+
+    bl = seq([uL, vB, uR, vB, uR, vT, uL, vT, uL, vB])
+    br = seq([uR, vB, uR, vT, uL, vT, uL, vB, uR, vB])
+    return f"""
+    WITH rr AS (
+        SELECT p_partkey AS pk,
+               'Part' || p_partkey || '_2019to2020_NDVI_Difference' AS doc_id,
+               CAST(256 + (p_partkey % 8) * 128 AS BIGINT) AS width,
+               CAST(256 + (p_size % 8) * 128 AS BIGINT) AS height,
+               CAST(128 AS BIGINT) AS tile_size,
+               CAST(CASE WHEN p_partkey % 5 = 0 THEN 64 ELSE 128 END AS BIGINT) AS stride,
+               (p_partkey % 64) * 5000.0 AS tc,
+               CAST(FLOOR(p_partkey / 64) AS BIGINT) * 5000.0 AS tf
+        FROM part),
+    g1 AS (SELECT *, unnest(generate_series(0, height - 1, stride)) AS trow FROM rr),
+    g2 AS (SELECT *, unnest(generate_series(0, width - 1, stride)) AS tcol FROM g1),
+    t2 AS (SELECT doc_id,
+            (trow // stride) * ((width + stride - 1) // stride) + (tcol // stride) AS ordinal,
+            doc_id || '_tile_' || trow || '_' || tcol AS media_ref,
+            CASE WHEN tile_size < width - tcol THEN tile_size ELSE width - tcol END AS tw,
+            CASE WHEN tile_size < height - trow THEN tile_size ELSE height - trow END AS th,
+            tc + tcol AS tminx,
+            tf - trow AS tmaxy,
+            tc + tcol + (CASE WHEN tile_size < width - tcol THEN tile_size ELSE width - tcol END) AS tmaxx,
+            tf - trow - (CASE WHEN tile_size < height - trow THEN tile_size ELSE height - trow END) AS tminy
+        FROM g2),
+    reg AS (SELECT doc_id,
+            tc + ((pk * 31 + j * 97) % (width - 64)) AS rx0,
+            tf - ((pk * 17 + j * 53) % (height - 64)) AS ry1,
+            48 + ((pk + j) % 5) * 40 AS sx,
+            48 + ((pk * 3 + j) % 7) * 24 AS sy
+        FROM rr CROSS JOIN (SELECT unnest([0, 1]) AS j) js
+        WHERE (pk + j) % 3 != 0),
+    reg2 AS (SELECT doc_id, rx0, rx0 + sx AS rx1, ry1 - sy AS ry0, ry1 FROM reg),
+    pairs AS (SELECT t2.doc_id, t2.ordinal, t2.media_ref, tminx, tmaxy, tw, th, ry0, tminy,
+            GREATEST(rx0, tminx) AS ix0, LEAST(rx1, tmaxx) AS ix1,
+            GREATEST(ry0, tminy) AS iy0, LEAST(ry1, tmaxy) AS iy1
+        FROM t2 JOIN reg2 USING (doc_id)
+        WHERE LEAST(rx1, tmaxx) > GREATEST(rx0, tminx)
+          AND LEAST(ry1, tmaxy) > GREATEST(ry0, tminy)),
+    lab AS (SELECT doc_id, ordinal, media_ref,
+            '0 ' || CASE WHEN ry0 >= tminy THEN {bl} ELSE {br} END AS text
+        FROM pairs),
+    sp AS (
+        SELECT doc_id, ordinal, 0 AS k, -2147483648 AS cid, '' AS text, media_ref FROM t2
+        UNION ALL
+        SELECT doc_id, ordinal, 1 AS k, 0 AS cid, text, media_ref FROM lab)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ordinal, k, cid, text) - 1 AS INTEGER) AS pos,
+           CASE WHEN k = 0 THEN 'media' ELSE 'text' END AS kind,
+           text, media_ref
+    FROM sp ORDER BY doc_id, pos
+"""
+
+
+_Q31_SQL = _q31_sql()
+
+
 # ---------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------
@@ -1183,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_dissolve_components": q28_dissolve_components,
         "q29_docs_ingest": q29_docs_ingest,
         "q30_neardup_dedup": q30_neardup_dedup,
+        "q31_spans_from_docs": q31_spans_from_docs,
+        "q32_spans_build_dataset": q32_spans_build_dataset,
     }
 
 
@@ -1218,4 +1367,6 @@ def oracle_sql() -> dict[str, str]:
         "q28_dissolve_components": _Q28_SQL,
         "q29_docs_ingest": _Q29_SQL,
         "q30_neardup_dedup": _Q30_SQL,
+        "q31_spans_from_docs": _Q31_SQL,
+        "q32_spans_build_dataset": _Q31_SQL,
     }

@@ -150,12 +150,25 @@ def clip_ring_to_rect(ring: Ring, minx, miny, maxx, maxy) -> Ring | None:
                 out.append(p)
             if pin != qin:
                 t = (bound - p[axis]) / (q[axis] - p[axis])
-                out.append(p + t * (q - p))
+                ip = p + t * (q - p)
+                # the crossing lies ON the clip line by construction —
+                # assign the bound exactly instead of keeping the
+                # interpolation's last-ULP error, so degenerate
+                # intersections collapse to true zero-area rings
+                ip[axis] = bound
+                out.append(ip)
         pts = np.asarray(out) if out else np.empty((0, 2))
     if len(pts) < 3:
         return None
     closed = np.vstack([pts, pts[:1]])
-    if abs(ring_area(closed)) <= 0.0:
+    # zero-area test with a noise floor: shoelace terms round at
+    # ~eps·M² (M = coordinate magnitude), so an exact-touch sliver can
+    # report area ~1e-8 at M~1e5 without being real. Anything under
+    # the floor is numerically indistinguishable from empty (and would
+    # round to duplicate points in label space anyway).
+    m = float(np.max(np.abs(closed)))
+    tol = 4.0 * len(closed) * np.finfo(np.float64).eps * max(1.0, m) ** 2
+    if abs(ring_area(closed)) <= tol:
         return None
     return closed
 
