@@ -1,13 +1,22 @@
-"""CRS transforms without pyproj/GDAL: WGS84 ↔ UTM as vectorized
-numpy (Snyder 1987 transverse-mercator series, the standard public
-formulas — USGS PP 1395, eqs 8-9..8-17 / 8-18..8-25).
+"""CRS transforms without pyproj/GDAL, as vectorized numpy:
+
+- WGS84 ↔ UTM (Snyder 1987 transverse-mercator series, the standard
+  public formulas — USGS PP 1395, eqs 8-9..8-17 / 8-18..8-25;
+  sub-mm in-zone).
+- WGS84 ↔ Web Mercator EPSG:3857 (the closed-form spherical
+  projection on the WGS84 semi-major axis — EPSG guidance note 7-2,
+  "Popular Visualisation Pseudo-Mercator"; exact, no series).
+- Geographic EPSG:4326 is the hub: any supported pair composes
+  src→geographic→dst, so UTM↔UTM, UTM↔3857, 3857↔4326 etc. all work.
+
+Codes outside this set (anything needing a datum shift grid) raise a
+clear ValueError — a silent wrong-datum transform is worse than none.
 
 The reference aligns vector layers to the raster CRS before any
 spatial op (georip/geoprocessing/utils.py:425-427 `to_crs`,
 georip/datasets/utils.py:249-251). The fixtures' CRSs are UTM zones
-(EPSG:326xx), so zone↔zone and zone↔geographic transforms cover the
-reference's behavior; accuracy of the series is sub-mm within a
-zone's normal extent.
+(EPSG:326xx); 3857/4326 cover the web-tile and plain-lon/lat inputs
+a user brings from outside the fixtures.
 
 All functions are array-in/array-out numpy (used from Arrow-batched
 pandas UDFs in operators/geom_udfs.py) — no per-row Python.
@@ -109,11 +118,70 @@ def utm_to_geographic(x, y, zone: int, north: bool = True):
     return np.rad2deg(lam), np.rad2deg(phi)
 
 
+# Web Mercator (EPSG:3857): spherical formulas on the WGS84
+# semi-major axis. Valid for |lat| < ~85.051129° (the square web-tile
+# bound); beyond it y diverges, matching the projection's definition.
+_R_MERC = _A
+
+
+def geographic_to_webmercator(lon_deg, lat_deg):
+    """(lon, lat) degrees → EPSG:3857 metres."""
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    x = _R_MERC * np.deg2rad(lon)
+    y = _R_MERC * np.log(np.tan(np.pi / 4.0 + np.deg2rad(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_geographic(x, y):
+    """EPSG:3857 metres → (lon, lat) degrees."""
+    lon = np.rad2deg(np.asarray(x, dtype=np.float64) / _R_MERC)
+    lat = np.rad2deg(
+        2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / _R_MERC))
+        - np.pi / 2.0
+    )
+    return lon, lat
+
+
+def _epsg_code(crs: str) -> int:
+    s = str(crs).upper().strip()
+    if s in ("WGS84", "CRS84", "OGC:CRS84"):
+        return 4326
+    try:
+        return int(s.replace("EPSG:", ""))
+    except ValueError:
+        raise ValueError(
+            f"unsupported CRS for dependency-free transform: {crs} "
+            "(supported: EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx)"
+        ) from None
+
+
+def _to_geographic(x, y, code: int, crs: str):
+    if code == 4326:
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if code == 3857:
+        return webmercator_to_geographic(x, y)
+    z, n = parse_epsg_utm(crs)
+    return utm_to_geographic(x, y, z, n)
+
+
+def _from_geographic(lon, lat, code: int, crs: str):
+    if code == 4326:
+        return lon, lat
+    if code == 3857:
+        return geographic_to_webmercator(lon, lat)
+    z, n = parse_epsg_utm(crs)
+    return geographic_to_utm(lon, lat, z, n)
+
+
 def transform_xy(x, y, src_crs: str, dst_crs: str):
-    """Transform point arrays between two UTM CRSs (or identity)."""
+    """Transform point arrays between any two supported CRSs
+    (EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx), composing through
+    geographic as the hub. Identity short-circuits."""
     if str(src_crs) == str(dst_crs):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-    sz, sn = parse_epsg_utm(src_crs)
-    dz, dn = parse_epsg_utm(dst_crs)
-    lon, lat = utm_to_geographic(x, y, sz, sn)
-    return geographic_to_utm(lon, lat, dz, dn)
+    cs, cd = _epsg_code(src_crs), _epsg_code(dst_crs)
+    if cs == cd:
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    lon, lat = _to_geographic(x, y, cs, src_crs)
+    return _from_geographic(lon, lat, cd, dst_crs)

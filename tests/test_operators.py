@@ -52,6 +52,44 @@ class TestDissolve:
         assert len(out) == n
         assert {r["component"] for r in out} == {0}
 
+    def test_adversarial_path_graph_10k(self, spark):
+        """Pointer-jumping depth at adversarial scale: a 10^4-vertex
+        path graph (the duplicate-chain worst case for near-dup CC).
+        Plain propagation would need 10^4 rounds; pointer jumping must
+        converge within max_iter=20 (~log2 diameter), and the
+        per-round localCheckpoint must keep the logical plan bounded —
+        without it the plan doubles every round and the 14th round
+        would take minutes of analysis alone."""
+        from georip_spark.operators.dissolve import connected_components
+
+        n = 10_000
+        pairs = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        vertices = spark.range(n).withColumnRenamed("id", "geom_id")
+        out = connected_components(pairs, vertices, max_iter=20)
+        # plan bounded: the checkpointed lineage must not have
+        # accumulated 14 rounds of join trees
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("\n") < 80, f"plan grew unbounded:\n{plan[:2000]}"
+        rows = out.collect()
+        assert len(rows) == n
+        assert {r["component"] for r in rows} == {0}
+
+    def test_nonconvergence_raises(self, spark):
+        """max_iter too small for the diameter → RuntimeError, never a
+        silent partial labeling (a wrong keeper corrupts every
+        downstream dedup drop)."""
+        from georip_spark.operators.dissolve import connected_components
+
+        n = 80
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        vertices = spark.range(n).withColumnRenamed("id", "geom_id")
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, vertices, max_iter=2)
+
     def test_no_overlaps(self, spark):
         from georip_spark.operators.dissolve import dissolve
 
