@@ -126,6 +126,253 @@ def union_area(mps: list[MultiPolygon]) -> float:
 
 # --------------------------------------------------------- geometry
 
+def _slab_decomposition(mps: list[MultiPolygon], snap_tol: float = 0.0):
+    """Shared core of union_area / union_geometry: per-slab union
+    coverage intervals. Returns (ys, slabs) where slabs is a list of
+    (ylo, yhi, intervals) and each interval is (lxlo, lxhi, rxlo,
+    rxhi): the left boundary's x at ylo/yhi and the right boundary's
+    x at ylo/yhi. Interval x-values interpolate input edges, so two
+    slabs sharing a y compute bit-identical x for a continuing edge.
+
+    snap_tol > 0 clusters slab boundaries closer than the tolerance
+    (re-unioning noisy output would otherwise spawn 1e-15-tall slabs)
+    and admits edges that fall short of a slab by ≤ tol; exact inputs
+    are untouched (singleton clusters keep their exact value)."""
+    segs, owner = _edges_of(mps)
+    if len(segs) == 0:
+        return np.zeros(0), []
+    ys = np.unique(np.concatenate([segs[:, 1], segs[:, 3], _crossing_ys(segs)]))
+    if snap_tol > 0.0 and len(ys) > 1:
+        keep = [float(ys[0])]
+        for v in ys[1:]:
+            if v - keep[-1] > snap_tol:
+                keep.append(float(v))
+        ys = np.asarray(keep)
+    n_poly = int(owner.max()) + 1
+    x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    ylo_e, yhi_e = np.minimum(y0, y1), np.maximum(y0, y1)
+    slabs = []
+    for ylo, yhi in zip(ys[:-1], ys[1:]):
+        if yhi <= ylo:
+            continue
+        act = (ylo_e <= ylo + snap_tol) & (yhi_e >= yhi - snap_tol) & (ylo_e < yhi_e)
+        if not act.any():
+            continue
+        idx = np.nonzero(act)[0]
+        t_lo = np.clip((ylo - y0[idx]) / (y1[idx] - y0[idx]), 0.0, 1.0)
+        t_hi = np.clip((yhi - y0[idx]) / (y1[idx] - y0[idx]), 0.0, 1.0)
+        xlo = x0[idx] + t_lo * (x1[idx] - x0[idx])
+        xhi = x0[idx] + t_hi * (x1[idx] - x0[idx])
+        xm = 0.5 * (xlo + xhi)
+        order = np.argsort(xm, kind="stable")
+        parity = np.zeros(n_poly, dtype=bool)
+        cover = 0
+        ints = []
+        cur = None
+        for j in order:
+            p = owner[idx[j]]
+            before = cover
+            parity[p] = ~parity[p]
+            cover += 1 if parity[p] else -1
+            if before == 0 and cover > 0:
+                cur = (xlo[j], xhi[j])
+            elif before > 0 and cover == 0:
+                ints.append((cur[0], cur[1], xlo[j], xhi[j]))
+                cur = None
+        if ints:
+            slabs.append((float(ylo), float(yhi), ints))
+    return ys, slabs
+
+
+def _subtract_intervals(a: list, b: list, tol: float) -> list:
+    """Pieces of intervals in `a` not covered by intervals in `b`
+    (1-D set difference, tolerance-merged)."""
+    if not a:
+        return []
+    merged = []
+    for lo, hi in sorted(b):
+        if merged and lo <= merged[-1][1] + tol:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    out = []
+    for lo, hi in a:
+        cur = lo
+        for mlo, mhi in merged:
+            if mhi <= cur + tol:
+                continue
+            if mlo >= hi - tol:
+                break
+            if mlo > cur + tol:
+                out.append((cur, mlo))
+            cur = max(cur, mhi)
+        if hi > cur + tol:
+            out.append((cur, hi))
+    return out
+
+
+def union_geometry(mps: list[MultiPolygon]) -> MultiPolygon:
+    """TRUE boolean union geometry for arbitrary simple polygons —
+    the non-rectilinear unary_union parity path (reference:
+    /root/reference/georip/utils/pandas.py:163-183).
+
+    Method: the same slab decomposition that makes union_area exact.
+    Each slab contributes its union trapezoids; boundary fragments are
+
+    - the trapezoids' left/right sides (pieces of input edges),
+      directed interior-left (left sides point down, right sides up),
+    - horizontal connectors at slab boundaries where coverage starts
+      or stops (bottom sides directed +x, top sides −x), obtained by
+      1-D interval subtraction between adjacent slabs.
+
+    Fragments chain into closed rings by endpoint matching (leftmost-
+    turn rule at pinch vertices), then collinear vertices introduced
+    by slab splitting are removed — so the final vertex set is the
+    true union boundary: input vertices + genuine edge crossings.
+    CCW rings are shells, CW rings are holes (assigned to the
+    smallest containing shell). Exactness caveat: crossing points are
+    computed in doubles; slab boundaries closer than 1e-9·scale are
+    clustered (a no-op for exact inputs, it absorbs the ULP noise of
+    re-unioning this function's own output) and the result is
+    self-checked against union_area (raises on chaining loss rather
+    than silently dropping a face).
+    """
+    scale = 1.0
+    for mp in mps:
+        for poly in mp:
+            for ring in poly:
+                a = np.asarray(ring, dtype=np.float64)
+                if a.size:
+                    scale = max(scale, float(np.max(np.abs(a))))
+    tol = 1e-9 * scale
+    ys, slabs = _slab_decomposition(mps, snap_tol=tol)
+    if not slabs:
+        return []
+
+    frags = []  # directed (x_from, y_from, x_to, y_to)
+    for ylo, yhi, ints in slabs:
+        for lxlo, lxhi, rxlo, rxhi in ints:
+            if abs(lxhi - lxlo) > tol or (yhi - ylo) > tol:
+                frags.append((lxhi, yhi, lxlo, ylo))   # left side: down
+                frags.append((rxlo, ylo, rxhi, yhi))   # right side: up
+    # horizontal connectors at every slab boundary y
+    bottoms: dict[float, list] = {}
+    tops: dict[float, list] = {}
+    for ylo, yhi, ints in slabs:
+        bottoms.setdefault(ylo, []).extend((i[0], i[2]) for i in ints)
+        tops.setdefault(yhi, []).extend((i[1], i[3]) for i in ints)
+    for y in sorted(set(bottoms) | set(tops)):
+        below = tops.get(y, [])
+        above = bottoms.get(y, [])
+        for lo, hi in _subtract_intervals(above, below, tol):
+            frags.append((lo, y, hi, y))               # bottom: +x
+        for lo, hi in _subtract_intervals(below, above, tol):
+            frags.append((hi, y, lo, y))               # top: -x
+
+    # chain fragments into closed rings (interior on the left)
+    import math
+
+    def q(v: float) -> int:
+        return int(round(v / tol))
+
+    starts: dict[tuple, list] = {}
+    for i, (xa, ya, xb, yb) in enumerate(frags):
+        if abs(xa - xb) <= tol and abs(ya - yb) <= tol:
+            continue
+        starts.setdefault((q(xa), q(ya)), []).append(i)
+    used = [False] * len(frags)
+    rings = []
+    for i0 in range(len(frags)):
+        if used[i0]:
+            continue
+        start_key = (q(frags[i0][0]), q(frags[i0][1]))
+        chain = []
+        i = i0
+        guard = 0
+        while True:
+            guard += 1
+            if guard > len(frags) + 2:
+                chain = None
+                break
+            used[i] = True
+            xa, ya, xb, yb = frags[i]
+            chain.append((xa, ya))
+            key = (q(xb), q(yb))
+            if key == start_key:
+                # closed — stopping here (not at fragment exhaustion)
+                # also splits figure-eight pinches into separate rings
+                break
+            cands = [k for k in starts.get(key, []) if not used[k]]
+            if not cands:
+                chain = None
+                break
+            if len(cands) == 1:
+                i = cands[0]
+            else:
+                # pinch vertex: leftmost turn keeps faces separate
+                ain = math.atan2(yb - ya, xb - xa)
+                best, best_turn = None, -10.0
+                for k in cands:
+                    kx, ky = frags[k][2] - frags[k][0], frags[k][3] - frags[k][1]
+                    turn = math.atan2(ky, kx) - ain
+                    while turn <= -math.pi:
+                        turn += 2 * math.pi
+                    while turn > math.pi:
+                        turn -= 2 * math.pi
+                    if turn > best_turn:
+                        best, best_turn = k, turn
+                i = best
+        if not chain or len(chain) < 3:
+            continue
+        # drop collinear / duplicate vertices (slab-split artifacts)
+        pts = []
+        n = len(chain)
+        for j in range(n):
+            a, b, c = chain[(j - 1) % n], chain[j], chain[(j + 1) % n]
+            if abs(b[0] - a[0]) <= tol and abs(b[1] - a[1]) <= tol:
+                continue
+            cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+            if abs(cross) <= tol * scale:
+                dot = (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1])
+                if dot > 0:
+                    continue
+            pts.append(b)
+        if len(pts) < 3:
+            continue
+        ring = np.asarray(pts + [pts[0]], dtype=np.float64)
+        rings.append(ring)
+
+    from georip_spark.geo.kernels import points_in_ring, ring_area
+
+    shells = [(r, abs(ring_area(r))) for r in rings if ring_area(r) > 0]
+    holes = [r for r in rings if ring_area(r) < 0]
+    shells.sort(key=lambda t: t[1])
+    out = [[s] for s, _ in shells]
+    for h in holes:
+        # representative: an edge midpoint — a hole vertex can lie ON
+        # a shell at pinch points; the midpoint of a boundary edge is
+        # interior to the containing shell. Shells are sorted by area,
+        # so the first hit is the smallest container.
+        px = np.asarray([0.5 * (h[0, 0] + h[1, 0])])
+        py = np.asarray([0.5 * (h[0, 1] + h[1, 1])])
+        for si, (s, _) in enumerate(shells):
+            if bool(points_in_ring(px, py, s)[0]):
+                out[si].append(h)
+                break
+    # self-check: the traced geometry must carry the exact union area
+    # (shells minus holes); a lost or mis-oriented chain fails loudly
+    got = sum(
+        abs(ring_area(poly[0])) - sum(abs(ring_area(r)) for r in poly[1:])
+        for poly in out
+    )
+    want = union_area(mps)
+    if abs(got - want) > 1e-6 * max(1.0, want):
+        raise ValueError(
+            f"union_geometry: boundary chaining inconsistent "
+            f"(traced area {got!r} vs exact union area {want!r})"
+        )
+    return out
+
 def is_rectilinear(mp: MultiPolygon, tol: float = 0.0) -> bool:
     """True iff every edge is axis-parallel."""
     for poly in mp:

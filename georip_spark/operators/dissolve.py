@@ -13,21 +13,22 @@ and re-attaches attributes from the first intersecting row
     3. per-component merge: grouped aggregation; geometry union is a
        per-component MultiPolygon assembly via grouped pandas UDF
 
-Union semantics (upgraded round 2): the reference's unary_union
+Union semantics (completed round 3): the reference's unary_union
 rewrites overlapping boundaries into a single polygon
 (georip/utils/pandas.py:163-183). This engine now does true boolean
-union where it can prove exactness without shapely:
+union for every component, without shapely:
 
 - union AREA is always exact for arbitrary simple polygons
   (geo/boolean.union_area slab decomposition) and emitted per
   component as ``union_area`` — the measurable unary_union parity.
-- union GEOMETRY (boundary rewritten, holes included) is emitted when
-  every member is rectilinear (geo/boolean.rect_union — exact via
-  coordinate compression; covers clipped tile rects and vectorized
-  masks, the engine's dominant dissolve inputs). Non-rectilinear
-  components keep the member-MultiPolygon representation — a
-  remaining documented deviation, but one whose area column still
-  matches unary_union exactly.
+- union GEOMETRY (boundary rewritten, holes included): rectilinear
+  components use geo/boolean.rect_union (exact coordinate-compression
+  grid); everything else uses geo/boolean.union_geometry (slab
+  trapezoids → boundary-fragment chaining — vertices are input
+  vertices + genuine edge crossings, self-checked against the exact
+  union area). The round-2 member-assembly representation survives
+  only as the fallback when union_geometry's self-check detects a
+  pathological input, and the area column is exact regardless.
 """
 
 from __future__ import annotations
@@ -181,9 +182,15 @@ def dissolve(
                 mps.append(mp)
         area = boolean.union_area(mps)
         if mps and all(boolean.is_rectilinear(mp) for mp in mps):
-            merged = boolean.rect_union(mps)     # true boolean union
+            merged = boolean.rect_union(mps)     # exact grid union
         else:
-            merged = [p for mp in mps for p in mp]  # member assembly
+            try:
+                merged = boolean.union_geometry(mps)  # true boolean union
+            except ValueError:
+                # chaining self-check failed (pathological input) —
+                # degrade to member assembly rather than crash the
+                # whole dissolve; union_area stays exact either way
+                merged = [p for mp in mps for p in mp]
         first = pdf.iloc[0]
         return pd.DataFrame(
             [
