@@ -32,6 +32,39 @@ from georip_spark.operators import geom_udfs
 DEFAULT_RES = 10  # cell ≈ 1024 CRS units — a couple of 640px/1.0-res tiles
 
 
+def auto_res(
+    regions_stats: DataFrame, lo: int = 4, hi: int = 18, cells_per_geom: float = 2.0
+) -> int:
+    """Pick the grid resolution from the DIM side's actual geometry
+    extents instead of a hardcoded constant: cell size ≈
+    ``cells_per_geom`` × the median bbox extent, clamped to [lo, hi].
+
+    Rationale: too-coarse cells put many geometries per cell (join
+    fan-out explodes, hot cells); too-fine cells replicate each
+    geometry over many cover cells (build side explodes). Cell ≈ 2×
+    the median geometry keeps both O(1). One tiny agg job on the dim
+    side only — at 100 TB the dim is still a dimension.
+
+    Input: any DataFrame with minx/miny/maxx/maxy columns (e.g. the
+    output of prepare_regions, or raw bbox stats)."""
+    import math
+
+    row = (
+        regions_stats.filter(F.col("minx").isNotNull())
+        .select(
+            F.expr(
+                "percentile_approx(greatest(maxx - minx, maxy - miny), 0.5)"
+            ).alias("ext")
+        )
+        .collect()[0]
+    )
+    ext = float(row["ext"]) if row["ext"] else None
+    if not ext or ext <= 0:
+        return DEFAULT_RES
+    res = int(round(math.log2(cells.BASE_CELL_SIZE / (cells_per_geom * ext))))
+    return max(lo, min(hi, res))
+
+
 def prepare_regions(regions: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     """Attach a stable row id, geometry stats, and the covering-cell
     array to a geometry table. Invalid/empty geometries keep

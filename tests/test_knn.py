@@ -108,3 +108,49 @@ def test_knn_escalate_must_grow(knn_data):
     with pytest.raises(ValueError, match="escalate"):
         knn_join(ldf, rdf, k=K, escalate=1,
                  left_key="event_id", right_key="geom_id")
+
+
+def test_auto_res_tracks_geometry_extent(spark):
+    """auto_res picks cell ≈ 2× the median dim extent and is clamped;
+    a join run at the auto res returns the same pairs as DEFAULT_RES."""
+    from georip_spark.geo import cells
+    from georip_spark.operators.joins import (
+        auto_res, prepare_regions, spatial_join_tiles_regions,
+    )
+    from pyspark.sql import functions as F
+
+    # rects with extents ~100 → want cell size in [100, 400]
+    rows = [(i, float(i * 37 % 2000), float(i * 91 % 2000)) for i in range(60)]
+    rects = spark.createDataFrame(rows, "rid long, x double, y double").select(
+        "rid",
+        F.format_string(
+            "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            "x", "y", F.col("x") + 100.0, "y", F.col("x") + 100.0,
+            F.col("y") + 100.0, "x", F.col("y") + 100.0, "x", "y",
+        ).alias("geometry"),
+    )
+    prepared = prepare_regions(rects, res=10)
+    r = auto_res(prepared)
+    assert 100.0 <= cells.cell_size(r) * 2 and cells.cell_size(r) <= 400.0
+    # same join result at auto res as at the default
+    pts = spark.createDataFrame(
+        [(str(i), float(i * 53 % 2000), float(i * 29 % 2000)) for i in range(500)],
+        "media_ref string, px double, py double",
+    ).select(
+        "media_ref",
+        F.col("px").alias("minx"), F.col("py").alias("miny"),
+        F.col("px").alias("maxx"), F.col("py").alias("maxy"),
+    )
+    def pairs(res):
+        j = spatial_join_tiles_regions(
+            pts, prepare_regions(rects, res=res), res=res, how="inner",
+            on_years=False, clip=False, broadcast_regions=True,
+        )
+        return {(r0["media_ref"], r0["rid"]) for r0 in j.select("media_ref", "rid").collect()}
+    assert pairs(r) == pairs(10)
+    # degenerate dim (all empty) falls back to the default
+    empty = prepare_regions(
+        spark.createDataFrame([(1, "POLYGON EMPTY")], "rid long, geometry string"), res=10
+    )
+    from georip_spark.operators.joins import DEFAULT_RES
+    assert auto_res(empty) == DEFAULT_RES
