@@ -384,6 +384,10 @@ def q10_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = spatial_join_tiles_regions(
         pts, prepared, res=11, how="inner", on_years=False, clip=False,
         broadcast_regions=True,
+        # the regions are axis-aligned rects, so the JVM bbox
+        # prefilter IS the exact intersects test — skip the Arrow
+        # refinement stage entirely (caller knowledge, same rows)
+        refine=False,
     )
     return joined.select(
         F.col("media_ref").cast("long").alias("event_id"), "s_suppkey"

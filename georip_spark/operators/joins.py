@@ -133,8 +133,10 @@ def spatial_join_tiles_regions(
     # under-parallel probes first; at real scale the scan already has
     # thousands of splits and this is a no-op.
     default_par = tiles.sparkSession.sparkContext.defaultParallelism
-    if tiles.rdd.getNumPartitions() < max(2, default_par // 2):
-        tiles = tiles.repartition(default_par)
+    if tiles.rdd.getNumPartitions() < 2 * default_par:
+        # 4·par: see tiling.tile_grid — one wave of fat tasks loses
+        # to any straggler; 4 waves pack the cores
+        tiles = tiles.repartition(4 * default_par)
 
     probe = tiles.withColumn(
         "cell",

@@ -46,9 +46,15 @@ def tile_grid(rasters: DataFrame, with_footprint: bool = True) -> DataFrame:
     # tiles vs <2s fanned out). Shuffling the compact raster rows
     # costs ~nothing; at real scale the scan already has thousands of
     # splits and this is a no-op.
+    # 4·par slices, not par: everything from here to the next shuffle
+    # (fan-out, footprint math, join probe, clip UDF) runs in these
+    # tasks — at par slices that is ONE wave of fat tasks where a
+    # single straggler holds the whole stage; 4 waves pack ~95%
+    # (measured round 2, re-measured round 3 when the stored-input
+    # bench resurrected the 1-wave shape through a tiny parquet scan).
     par = rasters.sparkSession.sparkContext.defaultParallelism
-    if rasters.rdd.getNumPartitions() < max(2, par // 2):
-        rasters = rasters.repartition(par)
+    if rasters.rdd.getNumPartitions() < 2 * par:
+        rasters = rasters.repartition(4 * par)
     df = rasters.withColumn(
         "tile_row", F.explode(F.sequence(F.lit(0), F.col("height") - 1, F.col("stride")))
     ).withColumn(
