@@ -1166,7 +1166,12 @@ def q31_spans_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rasters = _rasters_from_part(spark, sf_dir)
     docs = synth.synth_docs(spark, rasters)
     regions = _regions_from_part(spark, sf_dir)
-    return _spans_of(from_docs(docs, rasters, regions)["docs_out"])
+    # res="auto": q31 exercises the data-driven grid resolution
+    # (joins.auto_res) under the driver's per-row gate; q32 keeps the
+    # explicit DEFAULT_RES so both settings stay driver-covered. The
+    # span output is res-invariant (cells are candidates, clip
+    # decides), which is exactly what sharing _q31_sql verifies.
+    return _spans_of(from_docs(docs, rasters, regions, res="auto")["docs_out"])
 
 
 def q32_spans_build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,6 +1184,37 @@ def q32_spans_build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     rasters = _rasters_from_part(spark, sf_dir)
     regions = _regions_from_part(spark, sf_dir)
     return _spans_of(build_dataset(rasters, regions)["docs_out"])
+
+
+def q33_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage/resume under the driver's per-row gate (VERDICT r3 #6):
+    run the checkpointed pipeline (lineage.run_pipeline_with_lineage —
+    tiles and docs_out land in bucketed parquet with a manifest), then
+    simulate a crash by dropping one completed bucket + its manifest
+    entry from EACH stage, resume, and emit the span sequence. The
+    resumed output must equal q32's exactly (same _q31_sql oracle):
+    resume recomputes only the missing buckets, losing and duplicating
+    nothing. Reference has no resumability (per-file exist_ok only,
+    georip/raster/tools.py:276-279); this is the north_rule's
+    per-partition checkpoint lineage."""
+    import tempfile
+
+    from georip_spark.lineage import StageStore, run_pipeline_with_lineage
+
+    rasters = _rasters_from_part(spark, sf_dir)
+    regions = _regions_from_part(spark, sf_dir)
+    # the store must outlive this call (the returned DF reads from it
+    # lazily; the driver collects after we return) — a per-run temp
+    # dir under the system tmp, cleaned by the OS
+    root = tempfile.mkdtemp(prefix="georip_q33_")
+    store = StageStore(root)
+    # first full run materializes every bucket (run_stage is eager)
+    run_pipeline_with_lineage(spark, rasters, regions, store, n_buckets=8)
+    # simulated crash: one bucket gone from each stage
+    store.drop_bucket("tiles", 1)
+    store.drop_bucket("docs_out", 2)
+    resumed = run_pipeline_with_lineage(spark, rasters, regions, store, n_buckets=8)
+    return _spans_of(resumed)
 
 
 def _q31_sql() -> str:
@@ -1336,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_neardup_dedup": q30_neardup_dedup,
         "q31_spans_from_docs": q31_spans_from_docs,
         "q32_spans_build_dataset": q32_spans_build_dataset,
+        "q33_lineage_resume": q33_lineage_resume,
     }
 
 
@@ -1373,4 +1410,5 @@ def oracle_sql() -> dict[str, str]:
         "q30_neardup_dedup": _Q30_SQL,
         "q31_spans_from_docs": _Q31_SQL,
         "q32_spans_build_dataset": _Q31_SQL,
+        "q33_lineage_resume": _Q31_SQL,
     }

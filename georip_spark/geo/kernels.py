@@ -161,14 +161,20 @@ def clip_ring_to_rect(ring: Ring, minx, miny, maxx, maxy) -> Ring | None:
     if len(pts) < 3:
         return None
     closed = np.vstack([pts, pts[:1]])
-    # zero-area test with a noise floor: shoelace terms round at
-    # ~eps·M² (M = coordinate magnitude), so an exact-touch sliver can
-    # report area ~1e-8 at M~1e5 without being real. Anything under
-    # the floor is numerically indistinguishable from empty (and would
-    # round to duplicate points in label space anyway).
-    m = float(np.max(np.abs(closed)))
-    tol = 4.0 * len(closed) * np.finfo(np.float64).eps * max(1.0, m) ** 2
-    if abs(ring_area(closed)) <= tol:
+    # Zero-area test in RING-LOCAL coordinates: shoelace terms round at
+    # ~eps·(coordinate magnitude)², so computed on absolute coords a
+    # UTM-northing ring (~1e7) has a floor of square METRES and real
+    # thin slivers get dropped (the reference's shapely clip keeps
+    # them). Shifting by the first vertex is relative-error-exact
+    # (fl(a−b)=(a−b)(1+δ)), so local coords carry error ≤ eps·extent
+    # and the floor scales with the ring's EXTENT, not its position —
+    # near machine epsilon for small clips anywhere on the globe,
+    # while exact-touch degenerate rings (crossings snapped onto the
+    # clip line above) still collapse to true zero.
+    local = closed - closed[0]
+    ext = float(np.max(np.abs(local)))
+    tol = 4.0 * len(closed) * np.finfo(np.float64).eps * max(1.0, ext) ** 2
+    if abs(ring_area(local)) <= tol:
         return None
     return closed
 

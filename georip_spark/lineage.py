@@ -97,17 +97,24 @@ class StageStore:
             try:
                 b = int(entry.split("=", 1)[1])
             except ValueError:
-                # Spark writes `_bucket=__HIVE_DEFAULT_PARTITION__` for
-                # null keys (key_col had nulls). Not a committed bucket
-                # of ours — treat as orphan so resume never crashes on
-                # it and the rows are recomputed under a real bucket.
+                # `_bucket=__HIVE_DEFAULT_PARTITION__` or other junk.
+                # With THIS bucket expression it can only be external
+                # garbage: pmod(xxhash64(k), n) never yields null —
+                # xxhash64(null) returns the seed (42), so null keys
+                # land in a real bucket. Treat as orphan; the
+                # `isNull()` arm of the recompute filter below keeps
+                # resume lossless even if a future bucket expression
+                # CAN yield null (ADVICE round 3: `IN (missing)` alone
+                # would exclude null rows — silent data loss).
                 shutil.rmtree(os.path.join(self.stage_dir(name), entry))
                 continue
             if b not in done:
                 shutil.rmtree(os.path.join(self.stage_dir(name), entry))
         missing = [b for b in range(n_buckets) if b not in done]
         if missing:
-            todo = bucketed.filter(F.col(BUCKET_COL).isin(missing))
+            todo = bucketed.filter(
+                F.col(BUCKET_COL).isin(missing) | F.col(BUCKET_COL).isNull()
+            )
             t0 = time.time()
             todo.write.mode("append").partitionBy(BUCKET_COL).parquet(self.stage_dir(name))
             elapsed = time.time() - t0

@@ -143,6 +143,7 @@ def lsh_neardup_pairs(
     scale: int = QUANT_SCALE,
     bucket_cap: int = 1000,
     exact_cols: bool = False,
+    snm_window: int = 2,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket on the hyperplane signature of
     the quantized embedding, exact-cosine verify within buckets.
@@ -161,6 +162,27 @@ def lsh_neardup_pairs(
     sub-buckets (disclosed recall trade; audit with lsh_bucket_stats).
     The sub-split key is derived from the id, not a random salt, so
     results stay deterministic and oracle-reproducible.
+
+    Sorted-neighborhood stitch (``snm_window``, round 4): the
+    sub-split alone shatters an adversarial all-near-identical bucket
+    into k disconnected sub-cliques — a downstream connected-components
+    dedup would keep k representatives instead of 1. Within hot
+    buckets ONLY (k > 1), each row is additionally paired with its
+    next ``snm_window`` neighbors in (quantized-component-0, id) sort
+    order — pure window ``lead``s over the same ``sig`` partitioning
+    (no extra join), O(n·w) extra candidates. Pairs whose endpoints
+    share a sub-bucket are filtered out (the join already emits them),
+    and every stitched pair passes the SAME exact threshold predicate.
+    Guarantee: pair ENUMERATION within hot buckets stays intentionally
+    capped at O(n·bucket_cap + n·w) — never O(n²) — but near-identical
+    members become adjacent under the sort, so the stitched chain
+    connects the cluster and component-level recall (what dedup
+    consumes) is restored to 1 on the adversarial corpus
+    (tests/test_similarity_lsh.py; measured numbers in NOTES.md).
+    Cost: one additional evaluation of the signature branch (the
+    self-join already evaluates it twice); the per-bucket SORT runs
+    only on hot-bucket rows (the filter precedes the ordered window).
+    ``snm_window=0`` disables the stitch (the round-3 behavior).
 
     Threshold semantics: the cutoff is applied as the EXACT integer
     predicate  dot≥0 ∧ 1e8·dot² ≥ t4²·na2·nb2  (t4 = round(t·1e4),
@@ -221,6 +243,44 @@ def lsh_neardup_pairs(
             nb2.alias("nb2_q"),
         )
     )
+    if snm_window > 0:
+        # stitch hot buckets: lead() pairs in sort order; only rows in
+        # hot buckets (_k > 1) are sorted — filtering first keeps whole
+        # buckets (k is bucket-level), so cold corpora pay nothing
+        hot = sigs.filter(F.col("_k") > 1)
+        ws = Window.partitionBy("sig").orderBy(
+            F.col("_q")[0].asc(), F.col("_id").asc()
+        )
+        nbrs = F.array(*[
+            F.struct(
+                F.lead("_id", i).over(ws).alias("nid"),
+                F.lead("_q", i).over(ws).alias("nq"),
+            )
+            for i in range(1, snm_window + 1)
+        ])
+        e = (
+            hot.select("_id", "_q", "_k", nbrs.alias("_nbrs"))
+            .select("_id", "_q", "_k", F.explode("_nbrs").alias("n"))
+            .filter(F.col("n.nid").isNotNull())
+            # same sub-bucket ⇒ the join above already emitted the pair
+            .filter(
+                F.pmod(F.col("_id").cast("long"), F.col("_k"))
+                != F.pmod(F.col("n.nid").cast("long"), F.col("_k"))
+            )
+        )
+        # normalize to id_a < id_b with the same comparison semantics
+        # as the join (original id type)
+        swap = F.col("_id") < F.col("n.nid")
+        stitched = e.select(
+            F.when(swap, F.col("_id")).otherwise(F.col("n.nid")).alias("id_a"),
+            F.when(swap, F.col("n.nid")).otherwise(F.col("_id")).alias("id_b"),
+            int_dot(F.col("_q"), F.col("n.nq")).alias("dot_q"),
+            F.when(swap, int_dot(F.col("_q"), F.col("_q")))
+            .otherwise(int_dot(F.col("n.nq"), F.col("n.nq"))).alias("na2_q"),
+            F.when(swap, int_dot(F.col("n.nq"), F.col("n.nq")))
+            .otherwise(int_dot(F.col("_q"), F.col("_q"))).alias("nb2_q"),
+        )
+        pairs = pairs.unionByName(stitched)
     # exact integer threshold: cosine ≥ t  ⟺  dot ≥ t·√(na2·nb2);
     # squared with t quantized to 1e-4 — all DECIMAL(38,0), no doubles
     t4 = int(round(threshold * 10000))

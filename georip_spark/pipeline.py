@@ -23,6 +23,7 @@ from georip_spark import functions as GF
 from georip_spark.operators import geom_udfs
 from georip_spark.operators.joins import (
     DEFAULT_RES,
+    auto_res,
     prepare_regions,
     spatial_join_tiles_regions,
 )
@@ -31,6 +32,17 @@ from georip_spark.operators.tiling import tile_grid, with_footprint_bbox
 DEFAULT_CLASSES = ("Treatment", "Background")
 
 _TILE_REF_RE = r"_tile_([0-9]+)_([0-9]+)$"
+
+
+def _resolve_res(regions: DataFrame, res: int | str) -> int:
+    """res="auto" → one dim-side stats job picks the grid resolution
+    from the median geometry extent (joins.auto_res). Catalyst prunes
+    the unused cover column out of the throwaway prepare_regions, so
+    the probe costs exactly one geometry-stats pass + a percentile agg
+    over the dimension — nothing fact-side."""
+    if res == "auto":
+        return auto_res(prepare_regions(regions))
+    return int(res)
 
 
 def tiles_from_docs(docs: DataFrame, rasters: DataFrame) -> DataFrame:
@@ -81,7 +93,7 @@ def from_docs(
     docs: DataFrame,
     rasters: DataFrame,
     regions: DataFrame,
-    res: int = DEFAULT_RES,
+    res: int | str = DEFAULT_RES,
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
@@ -93,7 +105,15 @@ def from_docs(
     Output == build_dataset(rasters, regions)["docs_out"] span-for-
     span when docs was produced by tiling those rasters (the e2e
     parity test); differs exactly where the docs table does (tiles
-    added/removed upstream are respected, not re-derived)."""
+    added/removed upstream are respected, not re-derived).
+
+    res="auto" resolves the grid resolution from the dim's actual
+    geometry extents (auto_res) instead of DEFAULT_RES — the one
+    remaining magic constant a 100× geometry-size shift would
+    invalidate. The final output is res-invariant (cells only
+    generate candidates; clip decides), so correctness is unchanged —
+    res tunes candidate fan-out, not results."""
+    res = _resolve_res(regions, res)
     tiles = tiles_from_docs(docs, rasters)
     prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
@@ -252,7 +272,7 @@ def assemble_docs(tiles: DataFrame, labels: DataFrame) -> DataFrame:
 def build_dataset(
     rasters: DataFrame,
     regions: DataFrame,
-    res: int = DEFAULT_RES,
+    res: int | str = DEFAULT_RES,
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
@@ -264,7 +284,10 @@ def build_dataset(
     Catalyst's size stats misestimate WKT-string tables badly (an
     auto-broadcast OOM'd the driver at 384k regions), so the choice is
     made from real cardinality — broadcast under 500k regions
-    (~100-250 MB hash relation), sort-merge + AQE skew join above."""
+    (~100-250 MB hash relation), sort-merge + AQE skew join above.
+
+    res="auto": data-driven grid resolution, see from_docs."""
+    res = _resolve_res(regions, res)
     tiles = tile_grid(rasters)
     prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)

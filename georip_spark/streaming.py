@@ -96,19 +96,40 @@ def stream_span_stats(
     )
 
 
+def doc_content(spans_col) -> "F.Column":
+    """Serialize a spans array to the canonical content string — the
+    SHARED identity between streaming dedup here and batch
+    `exact_dup_groups` (tested equal row-for-row): md5(doc_content)
+    is the fingerprint on both paths.
+
+    Each field is null-normalized BEFORE the join: concat_ws silently
+    skips nulls, so without the coalesce a span (kind, text='x',
+    media_ref=null) and (kind, text=null, media_ref='x') would both
+    serialize to 'kind\\x1ex' and one distinct doc would be wrongly
+    dropped as a duplicate (ADVICE round 3). '\\x00' preserves field
+    position for null values and cannot collide with real text."""
+    def _f(field):
+        return F.coalesce(field, F.lit("\x00"))
+
+    return F.concat_ws(
+        "\x1f",
+        F.transform(
+            spans_col,
+            lambda s: F.concat_ws(
+                "\x1e", _f(s["kind"]), _f(s["text"]), _f(s["media_ref"])
+            ),
+        ),
+    )
+
+
 def stream_exact_dedup(
     docs_stream: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
     """Streaming exact dedup: first arrival per content fingerprint
     survives; re-arrivals within the watermark horizon are dropped.
-    Fingerprint = md5 over the ordered span texts + media_refs (the
-    same content identity operators/dedup.py uses in batch)."""
-    fp = F.md5(
-        F.concat_ws(
-            "\x1f",
-            F.transform("spans", lambda s: F.concat_ws("\x1e", s["kind"], s["text"], s["media_ref"])),
-        )
-    )
+    Fingerprint = md5(doc_content) — the same content identity
+    operators/dedup.py's exact_dup_groups computes in batch."""
+    fp = F.md5(doc_content(F.col("spans")))
     return (
         docs_stream.withColumn("fingerprint", fp)
         .withWatermark("event_ts", watermark)

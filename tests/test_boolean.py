@@ -275,6 +275,8 @@ class TestUnionGeometry:
             "region string, start_year int, end_year int, class_name string, geometry string",
         )
         out = {r["n_members"]: r for r in dissolve(df, buffer=1.0).collect()}
+        # every row must be a TRUE boundary union, flagged as such
+        assert all(r["exact_boundary"] for r in out.values())
         merged = W.parse_wkt(out[2]["geometry"])
         assert len(merged) == 1  # ONE polygon, boundary rewritten
         assert out[2]["union_area"] == pytest.approx(14.0)

@@ -109,6 +109,38 @@ class TestClip:
         # 5x5 quadrant minus the 1x1 quarter of the hole
         assert kernels.multipolygon_area(out) == pytest.approx(24.0)
 
+    def test_thin_sliver_survives_at_utm_magnitude(self):
+        # ADVICE round 3: the old zero-area floor scaled with the
+        # ABSOLUTE coordinate magnitude squared (~m² at UTM northings),
+        # silently dropping genuinely small clip intersections. In
+        # ring-local coords the floor is near machine epsilon: a
+        # 0.001 m × 50 m sliver at northing 5e6 must survive.
+        x0, y0 = 500_000.0, 5_000_000.0
+        ring = np.array(
+            [[x0, y0], [x0 + 50.0, y0], [x0 + 50.0, y0 + 0.001],
+             [x0, y0 + 0.001], [x0, y0]]
+        )
+        out = kernels.clip_ring_to_rect(
+            ring, x0 - 10.0, y0 - 10.0, x0 + 100.0, y0 + 100.0
+        )
+        assert out is not None
+        # area asserted in local coords too — absolute-coordinate
+        # shoelace rounds at ~eps·m², the very effect under test
+        assert abs(kernels.ring_area(out - out[0])) == pytest.approx(0.05, rel=1e-6)
+
+    def test_exact_touch_still_empty_at_utm_magnitude(self):
+        # exact-touch intersection (shared edge only) must still
+        # collapse to None after the ring-local floor change
+        x0, y0 = 500_000.0, 5_000_000.0
+        ring = np.array(
+            [[x0, y0], [x0 + 50.0, y0], [x0 + 50.0, y0 + 50.0],
+             [x0, y0 + 50.0], [x0, y0]]
+        )
+        out = kernels.clip_ring_to_rect(
+            ring, x0 - 100.0, y0 - 100.0, x0 + 50.0, y0
+        )
+        assert out is None
+
 
 class TestIntersects:
     def test_basic(self):

@@ -33,6 +33,7 @@ class TestDissolve:
         # B at x∈[5,15] and C at x∈[20,30]: gap 5 < 2*8 buffered bboxes
         # overlap → one 3-member component + the far singleton
         assert sizes == [1, 3]
+        assert all(r["exact_boundary"] for r in out)
         big = [r for r in out if r["n_members"] == 3][0]
         assert big["geometry"].startswith("MULTIPOLYGON")
         assert big["minx"] == 0.0 and big["maxx"] == 30.0

@@ -50,10 +50,12 @@ class TestLshNeardup:
         # uncapped would emit C(180,2)=16110 duplicate pairs.
         n_dup_pairs = sum(1 for r in got if r["id_a"] < 180 and r["id_b"] < 180)
         assert 0 < n_dup_pairs < 16110
-        # per-sub group ≈ 180/k rows → pairs per sub ≈ C(180/k, 2)
+        # per-sub group ≈ 180/k rows → pairs per sub ≈ C(180/k, 2),
+        # plus ≤ n·snm_window sorted-neighborhood stitch pairs
         k = math.ceil(200 / cap)  # ≥ dup-bucket's k (bucket ≤ 200 rows)
         per_sub = math.ceil(180 / math.ceil(180 / cap)) + 1
-        assert n_dup_pairs <= math.ceil(180 / cap) * per_sub * (per_sub - 1) / 2
+        bound = math.ceil(180 / cap) * per_sub * (per_sub - 1) / 2 + 180 * 2
+        assert n_dup_pairs <= bound
 
     def test_small_buckets_unaffected_by_cap(self, spark, dup_heavy):
         """cap larger than any bucket ⇒ identical results to uncapped."""

@@ -32,6 +32,9 @@ def docs_dir(spark, tmp_path_factory):
 
 class TestStreaming:
     def test_stream_tiles_matches_batch(self, spark, docs_dir):
+        """stream_tiles == tiles_from_docs ROW-FOR-ROW (every column,
+        including the CRS footprint doubles — both paths evaluate the
+        same expressions, so equality must be exact)."""
         path, rasters, docs = docs_dir
         from georip_spark.pipeline import tiles_from_docs
 
@@ -40,8 +43,10 @@ class TestStreaming:
             S.stream_tiles(stream, rasters), "t_tiles"
         )
         want = tiles_from_docs(docs.drop("event_ts"), rasters)
-        g = {tuple(r) for r in got.select("doc_id", "media_ref", "ordinal").collect()}
-        w = {tuple(r) for r in want.select("doc_id", "media_ref", "ordinal").collect()}
+        cols = sorted(want.columns)
+        assert sorted(got.columns) == cols
+        g = sorted(tuple(r) for r in got.select(*cols).collect())
+        w = sorted(tuple(r) for r in want.select(*cols).collect())
         assert g == w and len(g) > 0
 
     def test_span_stats_windowed(self, spark, docs_dir):
@@ -72,3 +77,60 @@ class TestStreaming:
         got = S.run_availablenow(S.stream_exact_dedup(stream), "t_dedup")
         assert got.count() == docs.count()
         assert got.select("fingerprint").distinct().count() == docs.count()
+
+    def test_stream_dedup_matches_batch_keepers(self, spark, docs_dir, tmp_path):
+        """Streaming↔batch dedup parity (VERDICT r3 #7): survivors of
+        stream_exact_dedup == exact_dup_groups keepers on the same
+        corpus — same fingerprints (shared doc_content serialization),
+        same surviving doc ids."""
+        from georip_spark.operators.dedup import exact_dup_groups
+
+        path, _, docs = docs_dir
+        dup_dir = str(tmp_path / "dup2")
+        docs.write.parquet(dup_dir)
+        docs.withColumn(
+            "event_ts", F.col("event_ts") + F.expr("INTERVAL 45 SECONDS")
+        ).write.mode("append").parquet(dup_dir)
+
+        survivors = S.run_availablenow(
+            S.stream_exact_dedup(S.stream_docs(spark, dup_dir)), "t_dedup2"
+        )
+        batch = spark.read.parquet(dup_dir).withColumn(
+            "content", S.doc_content(F.col("spans"))
+        )
+        groups = exact_dup_groups(batch, "doc_id", "content")
+
+        s_fp = {r["fingerprint"] for r in survivors.select("fingerprint").collect()}
+        b_fp = {r["fingerprint"] for r in groups.select("fingerprint").collect()}
+        assert s_fp == b_fp and len(s_fp) == docs.count()
+        # duplicates share a doc_id in this corpus, so the surviving
+        # id set is deterministic and must equal the batch keepers
+        s_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+        b_ids = {r["keeper"] for r in groups.select("keeper").collect()}
+        assert s_ids == b_ids
+        # every group saw both drops
+        assert groups.filter("n_copies <> 2").count() == 0
+
+    def test_stream_dedup_null_fields_do_not_collide(self, spark, tmp_path):
+        """ADVICE round 3: (kind, text='x', media_ref=null) and
+        (kind, text=null, media_ref='x') must serialize differently —
+        concat_ws alone would skip the null and wrongly drop one doc."""
+        import datetime as dt
+
+        rows = [
+            ("a", [("text", "x", None, 0)]),
+            ("b", [("text", None, "x", 0)]),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+        ).withColumn(
+            "event_ts", F.lit(dt.datetime(2026, 1, 1, 12, 0, 0)).cast("timestamp")
+        )
+        p = str(tmp_path / "nulldocs")
+        docs.write.parquet(p)
+        got = S.run_availablenow(
+            S.stream_exact_dedup(S.stream_docs(spark, p)), "t_nulls"
+        )
+        assert got.count() == 2
+        assert got.select("fingerprint").distinct().count() == 2
