@@ -84,9 +84,20 @@ def main() -> None:
     blocks = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     n_hi = 4 * n_lo
 
-    inp = tempfile.mkdtemp(prefix=f"scaling_campaign_{n_docs}_")
-    n_regions = prepare_inputs(n_docs, inp)
-    print(json.dumps({"prep": inp, "n_regions": n_regions}), flush=True)
+    # SCALING_INP reuses an already-prepared input dir (e.g. after an
+    # interrupted campaign) — every window shares it byte-identical
+    # either way, so reuse changes nothing about the protocol.
+    inp = os.environ.get("SCALING_INP", "")
+    if inp and os.path.exists(inp + "/regions/_SUCCESS"):
+        keep_inp = True
+        n_regions = 3 * n_docs
+        print(json.dumps({"prep_reused": inp, "n_regions": n_regions}),
+              flush=True)
+    else:
+        keep_inp = False
+        inp = tempfile.mkdtemp(prefix=f"scaling_campaign_{n_docs}_")
+        n_regions = prepare_inputs(n_docs, inp)
+        print(json.dumps({"prep": inp, "n_regions": n_regions}), flush=True)
 
     os.makedirs("BENCH", exist_ok=True)
     results = []
@@ -99,8 +110,9 @@ def main() -> None:
         if w + 1 < windows:
             time.sleep(sleep_sec)
 
-    import shutil
-    shutil.rmtree(inp, ignore_errors=True)
+    if not keep_inp:
+        import shutil
+        shutil.rmtree(inp, ignore_errors=True)
 
     calm = [r for r in results if r["cpu_ceiling"] >= 0.9]
     best = max(calm or results, key=lambda r: r["eff_best"])
