@@ -1338,6 +1338,74 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q34_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k similarity search — the scale
+    path next to q15's exact brute force (round 4). Queries are
+    vec_id 0..4 probing their own 8-plane signature bucket plus the 8
+    Hamming-1 buckets (sig XOR 2^p); candidates are scored with exact
+    integer dot/norms² and ranked by the bit-portable double
+    dot_q/(√nq2_q·√nc2_q) (IEEE ops over identical integer inputs —
+    no ROUND, q24's lesson). Output carries the exact longs."""
+    from georip_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return (
+        ann_topk_lsh(
+            e, q, k=10, n_planes=8, exclude_self=True
+        )
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "dot_q", "nq2_q", "nc2_q",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _q34_sql() -> str:
+    # mirrors similarity.ann_topk_lsh: quantize → 8-plane signature
+    # (shared arithmetic with _q24_sql) → multi-probe sig XOR 2^p →
+    # exact integer scoring → rank by the IEEE double
+    planes = " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(qe, generate_series(0, 63)), "
+        f"x -> CAST(x[1] AS BIGINT) * (CASE WHEN (({p * 31}) + x[2] * 17) % 7 < 4 THEN 1 ELSE -1 END))) > 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8)
+    )
+    probe_list = "[sig0, " + ", ".join(
+        f"xor(sig0, {1 << p})" for p in range(8)
+    ) + "]"
+    return f"""
+    WITH q AS (SELECT vec_id,
+            list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+        FROM embeddings),
+    sigs AS (SELECT vec_id, qe, CAST({planes} AS BIGINT) AS sig FROM q),
+    qs AS (SELECT vec_id AS q_id, qe AS qq, sig AS sig0 FROM sigs WHERE vec_id < 5),
+    probes AS (SELECT q_id, qq, unnest({probe_list}) AS sig FROM qs),
+    cand AS (SELECT p.q_id, s.vec_id,
+            CAST(list_sum(list_transform(list_zip(p.qq, s.qe),
+                x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS dot_q,
+            CAST(list_sum(list_transform(p.qq, v -> v * v)) AS BIGINT) AS nq2_q,
+            CAST(list_sum(list_transform(s.qe, v -> v * v)) AS BIGINT) AS nc2_q
+        FROM probes p JOIN sigs s USING (sig)
+        WHERE s.vec_id <> p.q_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY CAST(dot_q AS DOUBLE) / (sqrt(CAST(nq2_q AS DOUBLE)) * sqrt(CAST(nc2_q AS DOUBLE))) DESC,
+                     vec_id ASC) AS rank
+        FROM cand)
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id, dot_q, nq2_q, nc2_q
+    FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+_Q34_SQL = _q34_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1373,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_spans_from_docs": q31_spans_from_docs,
         "q32_spans_build_dataset": q32_spans_build_dataset,
         "q33_lineage_resume": q33_lineage_resume,
+        "q34_ann_topk_lsh": q34_ann_topk_lsh,
     }
 
 
@@ -1411,4 +1480,5 @@ def oracle_sql() -> dict[str, str]:
         "q31_spans_from_docs": _Q31_SQL,
         "q32_spans_build_dataset": _Q31_SQL,
         "q33_lineage_resume": _Q31_SQL,
+        "q34_ann_topk_lsh": _Q34_SQL,
     }

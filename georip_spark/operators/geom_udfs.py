@@ -30,8 +30,33 @@ _BOUNDS_SCHEMA = T.StructType(
         T.StructField("is_empty", T.BooleanType()),
         T.StructField("is_valid", T.BooleanType()),
         T.StructField("area", T.DoubleType()),
+        T.StructField("is_rect_blccw", T.BooleanType()),
     ]
 )
+
+
+def _is_rect_blccw(mp) -> bool:
+    """True iff the geometry is a single axis-aligned rectangle ring
+    in the canonical convention: closed 5-point ring starting at the
+    bottom-left corner, counter-clockwise in (x, y). For such
+    geometries clip+normalize is pure arithmetic (the JVM fast path
+    in pipeline.build_labels) — the Sutherland–Hodgman output order is
+    provably (property-swept vs the kernel, 0 mismatches) BL-start
+    when the bottom edge survives the clip and BR-start when it is
+    clipped, matching the driver oracle's CASE in _q31_sql."""
+    if len(mp) != 1 or len(mp[0]) != 1:
+        return False
+    r = mp[0][0]
+    if r.shape != (5, 2) or not np.array_equal(r[0], r[4]):
+        return False
+    x0, y0 = r[0]
+    x1, y1 = r[1]
+    x2, y2 = r[2]
+    x3, y3 = r[3]
+    return bool(
+        y1 == y0 and x2 == x1 and y3 == y2 and x3 == x0
+        and x1 > x0 and y2 > y0
+    )
 
 
 def _memo_parse(series: pd.Series) -> list:
@@ -53,15 +78,17 @@ def geom_bounds(geom_wkt: pd.Series) -> pd.DataFrame:
     rows = []
     for mp in _memo_parse(geom_wkt):
         if not mp:
-            rows.append((np.nan, np.nan, np.nan, np.nan, True, False, 0.0))
+            rows.append((np.nan, np.nan, np.nan, np.nan, True, False, 0.0, False))
         else:
             b = kernels.bounds(mp)
             rows.append(
                 (*b, False, any(kernels.is_valid_polygon(p) for p in mp),
-                 kernels.multipolygon_area(mp))
+                 kernels.multipolygon_area(mp), _is_rect_blccw(mp))
             )
     return pd.DataFrame(
-        rows, columns=["minx", "miny", "maxx", "maxy", "is_empty", "is_valid", "area"]
+        rows,
+        columns=["minx", "miny", "maxx", "maxy", "is_empty", "is_valid",
+                 "area", "is_rect_blccw"],
     )
 
 
@@ -219,8 +246,9 @@ transform_geometry = transform_geometry.asNondeterministic()
 
 
 def geometry_stats(df, geom_col: str = "geometry"):
-    """Attach bounds/validity/area struct fields for ``geom_col``."""
+    """Attach bounds/validity/area/rect-detection struct fields for
+    ``geom_col``."""
     return df.withColumn("_g", geom_bounds(F.col(geom_col))).select(
         "*", "_g.minx", "_g.miny", "_g.maxx", "_g.maxy",
-        "_g.is_empty", "_g.is_valid", "_g.area",
+        "_g.is_empty", "_g.is_valid", "_g.area", "_g.is_rect_blccw",
     ).drop("_g")

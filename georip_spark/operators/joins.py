@@ -100,6 +100,7 @@ def spatial_join_tiles_regions(
     salt: int | None = None,
     broadcast_regions: bool | None = None,
     refine: bool = True,
+    keep_region_bbox: bool = False,
 ) -> DataFrame:
     """Join tile footprints (bbox columns minx/miny/maxx/maxy +
     region/start_year/end_year keys) against prepared region geometries.
@@ -209,8 +210,9 @@ def spatial_join_tiles_regions(
         matched = cand.select("media_ref").distinct()
         return tiles.join(matched, "media_ref", "left_anti")
 
-    out_carry = [c for c in carry if c not in ("g_minx", "g_miny", "g_maxx", "g_maxy",
-                                               "is_empty")]
+    drop_cols = ("is_empty",) if keep_region_bbox else (
+        "g_minx", "g_miny", "g_maxx", "g_maxy", "is_empty")
+    out_carry = [c for c in carry if c not in drop_cols]
     out = cand.select(*tile_cols, *out_carry)
     if clip:
         out = out.withColumn(

@@ -92,6 +92,87 @@ def brute_force_topk(
     )
 
 
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_planes: int = 16,
+    dim: int = 64,
+    hamming_probes: bool = True,
+    scale: int = QUANT_SCALE,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k over an embedding corpus: the LSH-bucketed
+    scale path next to ``brute_force_topk``'s exact baseline.
+
+    Plan shape at 100 TB: corpus signatures are scan-stage column
+    math (no shuffle of the corpus); the probe side —
+    |Q|·(1+n_planes) rows after the multi-probe explode — is
+    broadcast, so the join keeps the corpus partitioning; the only
+    shuffle is the per-query window rank over candidates
+    (|candidates| ≈ Σ probed-bucket sizes ≪ N·Q, the whole point).
+
+    Multi-probe: each query probes its own signature bucket plus the
+    ``n_planes`` buckets at Hamming distance 1 (one sign flipped) —
+    the standard recall repair for hyperplane LSH, deterministic, and
+    expressible in plain SQL (sig XOR 2^p) so the oracle can replicate
+    it. A corpus row matches at most one probe per query (probe values
+    are distinct), so no candidate dedup is needed.
+
+    Scoring/ranking is engine-portable by construction: candidates are
+    scored with EXACT integer dot/norms² over the quantized embedding
+    (see ``quantize``), and ranked by the double
+    dot_q/(√nq2_q·√nc2_q) — computed from identical integer inputs
+    with IEEE-correctly-rounded ops (cast, sqrt, mul, div), it is
+    bit-identical on any engine, unlike a ROUND() of it (q24's
+    round-2 lesson). Ties break on the corpus id. The output carries
+    the exact longs, not the derived double.
+
+    Recall caveat (disclosed): a hot bucket inflates candidates (an
+    all-near-identical corpus degrades toward brute force for queries
+    landing in it), and true neighbors ≥2 sign flips away are missed;
+    ``lsh_bucket_stats`` audits bucket shape, ``brute_force_topk``
+    measures recall on a sample."""
+    c = corpus.select(
+        F.col(id_col), quantize(F.col(vec_col), scale).alias("_cq")
+    ).withColumn("sig", hyperplane_signature(F.col("_cq"), n_planes, dim))
+    q = queries.select(
+        F.col(q_id_col), quantize(F.col(q_vec_col), scale).alias("_qq")
+    ).withColumn("_sig0", hyperplane_signature(F.col("_qq"), n_planes, dim))
+    probes = [F.col("_sig0")]
+    if hamming_probes:
+        probes += [
+            F.col("_sig0").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(n_planes)
+        ]
+    qp = q.select(
+        F.col(q_id_col), F.col("_qq"), F.explode(F.array(*probes)).alias("sig")
+    )
+    cand = c.join(F.broadcast(qp), "sig")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(q_id_col))
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        int_dot(F.col("_qq"), F.col("_cq")).alias("dot_q"),
+        int_dot(F.col("_qq"), F.col("_qq")).alias("nq2_q"),
+        int_dot(F.col("_cq"), F.col("_cq")).alias("nc2_q"),
+    )
+    cosd = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("nq2_q").cast("double"))
+        * F.sqrt(F.col("nc2_q").cast("double"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(cosd.desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane_signature(qvec: Column, n_planes: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature as a long bitmask over a
     QUANTIZED (array<long>) embedding: bit p is the sign of <q, h_p>

@@ -178,3 +178,67 @@ def test_tiles_from_docs_respects_doc_table(spark, tiny):
     n_full = tiles_from_docs(docs, rasters).count()
     n_pruned = tiles_from_docs(pruned, rasters).count()
     assert n_pruned < n_full
+
+
+class TestRectFastPath:
+    """Round-4 JVM fast path for rectangle clip+normalize: must be
+    bit-identical to the Arrow kernel path (the e2e oracle tests above
+    already run the default/fast configuration; these pin fast ==
+    kernel row-for-row and the detection predicate)."""
+
+    def test_fast_equals_kernel_exactly(self, spark, tiny, engine_out):
+        from georip_spark.pipeline import build_labels, class_map
+        from georip_spark.operators.joins import prepare_regions
+
+        rasters, regions = tiny
+        prep = prepare_regions(regions)
+        cls = class_map(regions)
+        slow = build_labels(
+            engine_out["tiles"], prep, cls, rect_fast=False
+        )
+        fast_rows = sorted(
+            tuple(r) for r in
+            engine_out["labels"].select("media_ref", "label").collect()
+        )
+        slow_rows = sorted(
+            tuple(r) for r in slow.select("media_ref", "label").collect()
+        )
+        assert fast_rows == slow_rows and len(fast_rows) > 0
+
+    def test_rect_detection(self, spark):
+        from georip_spark.operators.geom_udfs import geometry_stats
+
+        rows = [
+            # canonical BL-start CCW rect -> fast-path eligible
+            ("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))", True),
+            # CW rect (reversed) -> kernel path
+            ("POLYGON ((0 0, 0 3, 4 3, 4 0, 0 0))", False),
+            # BR-start CCW rect -> kernel path (non-canonical start)
+            ("POLYGON ((4 0, 4 3, 0 3, 0 0, 4 0))", False),
+            # triangle -> kernel
+            ("POLYGON ((0 0, 4 0, 0 3, 0 0))", False),
+            # degenerate (zero height) -> kernel
+            ("POLYGON ((0 0, 4 0, 4 0, 0 0, 0 0))", False),
+            # multipolygon of rects -> kernel
+            ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))", False),
+        ]
+        df = spark.createDataFrame([(w,) for w, _ in rows], "geometry string")
+        got = [r["is_rect_blccw"] for r in geometry_stats(df).collect()]
+        assert got == [e for _, e in rows]
+
+    def test_round6_even_matches_numpy(self, spark):
+        import numpy as np
+
+        from georip_spark.pipeline import _round6_even
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([
+            rng.random(5000),
+            np.round(rng.random(500), 7),     # exact 5e-7 ties
+            np.arange(0, 500) / 1000000.0,
+        ])
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        got = [r["r"] for r in
+               df.select(_round6_even(F.col("x")).alias("r")).collect()]
+        want = np.round(vals, 6)
+        assert all(g == w for g, w in zip(got, want))

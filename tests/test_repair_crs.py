@@ -203,9 +203,11 @@ class TestWebMercator:
         assert xu[0] == xd[0] and yu[0] == yd[0]
 
     def test_unsupported_raises(self):
+        # NAD27's only published transform is a distortion grid
+        # (NADCON) — it must raise, not silently approximate
         with pytest.raises(ValueError, match="unsupported CRS"):
             C.transform_xy(np.asarray([0.0]), np.asarray([0.0]),
-                           "EPSG:27700", "EPSG:3857")
+                           "EPSG:4267", "EPSG:3857")
 
     def test_pipeline_mixed_3857_and_utm(self, spark):
         """VERDICT r2 #5: regions arriving in EPSG:3857 align onto a
@@ -235,3 +237,87 @@ class TestWebMercator:
         ex, ey = C.transform_xy(rx, ry, "EPSG:3857", "EPSG:32610")
         assert np.allclose(ring[:, 0], ex, atol=0.01)
         assert np.allclose(ring[:, 1], ey, atol=0.01)
+
+
+class TestDatums:
+    """Helmert/TOWGS84 datum shifts (round 4): OSGB36 + British
+    National Grid, ED50/UTM, ETRS89 — the EPSG-published grid-free
+    transforms pyproj falls back to without distortion grids."""
+
+    def test_bng_projection_known_value(self):
+        # OS "A guide to coordinate systems in Great Britain" worked
+        # example (Caister water tower), OSGB36 geographic → BNG:
+        # 52°39'27.2531"N 1°43'4.5177"E → E 651409.903, N 313177.270.
+        # Projection-only (both sides OSGB36 datum) — validates the
+        # parameterized TM on Airy 1830 with lat0/fn.
+        lat = np.asarray([52 + 39 / 60 + 27.2531 / 3600])
+        lon = np.asarray([1 + 43 / 60 + 4.5177 / 3600])
+        e, n = C.transform_xy(lon, lat, "EPSG:4277", "EPSG:27700")
+        assert e[0] == pytest.approx(651409.903, abs=0.02)
+        assert n[0] == pytest.approx(313177.270, abs=0.02)
+        # and back
+        lon2, lat2 = C.transform_xy(e, n, "EPSG:27700", "EPSG:4277")
+        # ~2 mm Snyder-series truncation at 3.7 deg from lon0
+        assert lon2[0] == pytest.approx(lon[0], abs=1e-7)
+        assert lat2[0] == pytest.approx(lat[0], abs=1e-7)
+
+    def test_bng_wgs84_roundtrip_and_shift_magnitude(self):
+        # London-ish BNG points → WGS84 and back: the Helmert inverse
+        # is the exact matrix inverse, so the roundtrip is lossless
+        # (only Bowring + series noise remains)
+        e = np.linspace(300000.0, 600000.0, 7)
+        n = np.linspace(100000.0, 400000.0, 7)
+        lon, lat = C.transform_xy(e, n, "EPSG:27700", "EPSG:4326")
+        assert np.all((-7.5 < lon) & (lon < 2.5))
+        assert np.all((50.5 < lat) & (lat < 54.0))
+        e2, n2 = C.transform_xy(lon, lat, "EPSG:4326", "EPSG:27700")
+        assert np.allclose(e, e2, atol=1e-4)
+        assert np.allclose(n, n2, atol=1e-4)
+        # the datum shift itself is ~100 m over Britain: compare
+        # against projecting WITHOUT the shift (OSGB36 geographic
+        # treated as if WGS84)
+        lon_raw, lat_raw = C.tm_inverse(e, n, **C._BNG)
+        dx = (lon - lon_raw) * 111320.0 * np.cos(np.deg2rad(lat))
+        dy = (lat - lat_raw) * 110574.0
+        dist = np.hypot(dx, dy)
+        assert np.all((60.0 < dist) & (dist < 180.0))
+
+    def test_ed50_utm_roundtrip_and_shift_magnitude(self):
+        # ED50/UTM 31N (central Europe) ↔ WGS84/UTM 31N: the mean
+        # European 3-param shift is ~180 m in ECEF
+        e = np.linspace(400000.0, 700000.0, 7)
+        n = np.linspace(5_200_000.0, 5_800_000.0, 7)
+        ew, nw = C.transform_xy(e, n, "EPSG:23031", "EPSG:32631")
+        dist = np.hypot(ew - e, nw - n)
+        assert np.all((80.0 < dist) & (dist < 250.0))
+        e2, n2 = C.transform_xy(ew, nw, "EPSG:32631", "EPSG:23031")
+        assert np.allclose(e, e2, atol=1e-4)
+        assert np.allclose(n, n2, atol=1e-4)
+
+    def test_etrs89_utm_equals_wgs84_utm(self):
+        # ETRS89 ≡ WGS84 at Helmert accuracy; 25832 ↔ 32632 must be
+        # a near-identity (only GRS80-vs-WGS84 flattening, sub-mm)
+        e = np.asarray([500000.0, 600000.0])
+        n = np.asarray([5_500_000.0, 5_700_000.0])
+        e2, n2 = C.transform_xy(e, n, "EPSG:25832", "EPSG:32632")
+        assert np.allclose(e, e2, atol=1e-3)
+        assert np.allclose(n, n2, atol=1e-3)
+
+    def test_bng_to_webmercator_composes(self):
+        # full composition: BNG → (Airy TM⁻¹) → OSGB36 → Helmert →
+        # WGS84 → spherical Mercator; Trafalgar-Square-ish BNG
+        x, y = C.transform_xy(np.asarray([530030.0]), np.asarray([180380.0]),
+                              "EPSG:27700", "EPSG:3857")
+        lon, lat = C.webmercator_to_geographic(x, y)
+        assert lon[0] == pytest.approx(-0.128, abs=0.02)
+        assert lat[0] == pytest.approx(51.508, abs=0.02)
+
+    def test_same_datum_projection_skips_helmert(self):
+        # 4277 → 27700 must not apply any datum shift: projecting the
+        # OS worked example via transform_xy equals calling the TM
+        # kernel directly
+        lat = np.asarray([52.5])
+        lon = np.asarray([1.0])
+        e1, n1 = C.transform_xy(lon, lat, "EPSG:4277", "EPSG:27700")
+        e2, n2 = C.tm_forward(lon, lat, **C._BNG)
+        assert e1[0] == e2[0] and n1[0] == n2[0]

@@ -82,3 +82,65 @@ class TestAdversarialHotBucket:
         comps = connected_components(edges, vertices)
         n_components = comps.select("component").distinct().count()
         assert n_components == 1
+
+
+class TestAnnTopK:
+    """ann_topk_lsh (round 4): the LSH-bucketed scale path for
+    similarity search, vs brute_force_topk as ground truth."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # 5 well-separated direction clusters x 40 members; member
+        # perturbation (<= 2 quantized units on one component) keeps a
+        # cluster inside one signature bucket
+        rows = []
+        for c in range(5):
+            base = [0.9 if i == c else 0.1 for i in range(DIM)]
+            for m in range(40):
+                vid = c * 40 + m
+                rows.append((vid, [base[0] + (m % 3) * 1e-4] + base[1:]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_recall_vs_brute_force(self, spark, clustered):
+        from georip_spark.operators.similarity import (
+            ann_topk_lsh,
+            brute_force_topk,
+        )
+
+        q = clustered.filter(F.col("vec_id") % 40 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        ann = ann_topk_lsh(
+            clustered, q, k=10, n_planes=PLANES, dim=DIM, exclude_self=True
+        )
+        rows = ann.collect()
+        # 10 results per query, and every one a TRUE neighbor (same
+        # cluster; within-cluster cosine ~1 vs ~0.33 across clusters).
+        # Note exact-set comparison vs brute_force_topk is meaningless
+        # here: the 39 same-cluster members tie to 3 score values, and
+        # brute force ranks by ROUND(dot,4)+id while ann ranks by the
+        # exact cosine, so the two pick different members of the tie
+        # group — cluster membership is the invariant that matters.
+        assert len(rows) == 50
+        for r in rows:
+            assert r["vec_id"] // 40 == r["q_id"] // 40
+        # and brute force agrees at cluster level on its own top-10
+        exact = brute_force_topk(clustered, q, k=10)
+        for r in exact.filter(F.col("vec_id") != F.col("q_id")).collect():
+            assert r["vec_id"] // 40 == r["q_id"] // 40
+
+    def test_exact_integer_scores_and_determinism(self, spark, clustered):
+        from georip_spark.operators.similarity import ann_topk_lsh
+
+        q = clustered.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        a = ann_topk_lsh(clustered, q, k=5, n_planes=PLANES, dim=DIM,
+                         exclude_self=True)
+        r1 = [tuple(r) for r in a.orderBy("rank").collect()]
+        r2 = [tuple(r) for r in a.orderBy("rank").collect()]
+        assert r1 == r2 and len(r1) == 5
+        # exact longs: nq2_q is the query's quantized norm-squared,
+        # constant across the result set
+        nq2 = {r[3] for r in r1}
+        assert len(nq2) == 1 and r1[0][3] > 0
