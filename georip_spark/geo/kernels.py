@@ -32,6 +32,41 @@ def ring_area(ring: Ring) -> float:
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
+def seq_ring_area(ring: Ring) -> float:
+    """Signed shoelace area summed STRICTLY SEQUENTIALLY (left fold).
+
+    Same mathematical value as ``ring_area`` but with a pinned
+    accumulation order: ``np.sum`` switches to pairwise summation for
+    longer arrays, whose last-ULP result a Catalyst ``aggregate`` left
+    fold cannot reproduce. The clip fast path re-implements clipping
+    as JVM column math and must agree with the kernel BIT-FOR-BIT on
+    the zero-area floor and the largest-part selection, so both sides
+    use this fold."""
+    n = len(ring)
+    if n < 3:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    acc = 0.0
+    for i in range(n):
+        j = i + 1 if i + 1 < n else 0
+        acc += float(x[i]) * float(y[j]) - float(x[j]) * float(y[i])
+    return 0.5 * acc
+
+
+def clip_selection_area(poly: Polygon) -> float:
+    """Largest-clipped-part selection key: |shell| − Σ|holes|, each
+    ring's shoelace computed SEQUENTIALLY in ring-local coordinates
+    (shifted by its first vertex) — the same fold the JVM clip fast
+    path computes, so Python-kernel and column-math paths pick the
+    same part even on last-ULP near-ties."""
+    if not poly:
+        return 0.0
+    a = abs(seq_ring_area(poly[0] - poly[0][0]))
+    for hole in poly[1:]:
+        a -= abs(seq_ring_area(hole - hole[0]))
+    return a
+
+
 def polygon_area(poly: Polygon) -> float:
     """Unsigned area: |outer| − Σ|holes|."""
     if not poly:
@@ -173,8 +208,11 @@ def clip_ring_to_rect(ring: Ring, minx, miny, maxx, maxy) -> Ring | None:
     # clip line above) still collapse to true zero.
     local = closed - closed[0]
     ext = float(np.max(np.abs(local)))
-    tol = 4.0 * len(closed) * np.finfo(np.float64).eps * max(1.0, ext) ** 2
-    if abs(ring_area(local)) <= tol:
+    m = max(1.0, ext)
+    tol = 4.0 * len(closed) * np.finfo(np.float64).eps * m * m
+    # seq_ring_area: pinned left-fold order so the JVM clip fast path
+    # can reproduce the drop/keep decision bit-for-bit
+    if abs(seq_ring_area(local)) <= tol:
         return None
     return closed
 

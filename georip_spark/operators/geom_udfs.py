@@ -31,6 +31,13 @@ _BOUNDS_SCHEMA = T.StructType(
         T.StructField("is_valid", T.BooleanType()),
         T.StructField("area", T.DoubleType()),
         T.StructField("is_rect_blccw", T.BooleanType()),
+        # per-part shell rings (unclosed, interleaved x0,y0,x1,y1,…) —
+        # parsed ONCE on the dim side so the JVM clip fast path never
+        # needs the WKT string (or any Python) on the fact-sized pair
+        # stream; has_holes gates the rows that must still take the
+        # Arrow kernel (hole-aware largest-part selection)
+        T.StructField("shells", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("has_holes", T.BooleanType()),
     ]
 )
 
@@ -59,6 +66,15 @@ def _is_rect_blccw(mp) -> bool:
     )
 
 
+def _unclosed_shell(ring) -> list[float]:
+    """Shell vertices with the closing point stripped (the EXACT
+    precondition clip_ring_to_rect applies: drop ring[-1] iff it
+    equals ring[0]), flattened [x0, y0, x1, y1, …] for a compact
+    Arrow array column."""
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    return [float(v) for v in pts.ravel()]
+
+
 def _memo_parse(series: pd.Series) -> list:
     memo: dict[str, object] = {}
     out = []
@@ -78,17 +94,20 @@ def geom_bounds(geom_wkt: pd.Series) -> pd.DataFrame:
     rows = []
     for mp in _memo_parse(geom_wkt):
         if not mp:
-            rows.append((np.nan, np.nan, np.nan, np.nan, True, False, 0.0, False))
+            rows.append((np.nan, np.nan, np.nan, np.nan, True, False, 0.0,
+                         False, [], False))
         else:
             b = kernels.bounds(mp)
             rows.append(
                 (*b, False, any(kernels.is_valid_polygon(p) for p in mp),
-                 kernels.multipolygon_area(mp), _is_rect_blccw(mp))
+                 kernels.multipolygon_area(mp), _is_rect_blccw(mp),
+                 [_unclosed_shell(p[0]) for p in mp if p],
+                 any(len(p) > 1 for p in mp))
             )
     return pd.DataFrame(
         rows,
         columns=["minx", "miny", "maxx", "maxy", "is_empty", "is_valid",
-                 "area", "is_rect_blccw"],
+                 "area", "is_rect_blccw", "shells", "has_holes"],
     )
 
 
@@ -182,7 +201,10 @@ def clip_and_normalize(
         if not clipped:
             out.append(None)
             continue
-        best = max(clipped, key=kernels.polygon_area)
+        # clip_selection_area, not polygon_area: pinned sequential
+        # ring-local fold so the JVM clip path picks the identical
+        # part on last-ULP area near-ties (pandas oracle matches)
+        best = max(clipped, key=kernels.clip_selection_area)
         ring = best[0]
         w, h = c - a, d - b
         u = np.clip((ring[:, 0] - a) / w, 0.0, 1.0)
@@ -251,4 +273,5 @@ def geometry_stats(df, geom_col: str = "geometry"):
     return df.withColumn("_g", geom_bounds(F.col(geom_col))).select(
         "*", "_g.minx", "_g.miny", "_g.maxx", "_g.maxy",
         "_g.is_empty", "_g.is_valid", "_g.area", "_g.is_rect_blccw",
+        "_g.shells", "_g.has_holes",
     ).drop("_g")

@@ -101,6 +101,7 @@ def spatial_join_tiles_regions(
     broadcast_regions: bool | None = None,
     refine: bool = True,
     keep_region_bbox: bool = False,
+    exclude_carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Join tile footprints (bbox columns minx/miny/maxx/maxy +
     region/start_year/end_year keys) against prepared region geometries.
@@ -115,6 +116,11 @@ def spatial_join_tiles_regions(
     on_years: also equi-join on (region, start_year, end_year) — the
       J1/J3 year-span matching law.
     """
+    if "geometry" in exclude_carry and (refine or clip):
+        raise ValueError(
+            "cannot exclude 'geometry' from the carry when refine/clip "
+            "need it post-join"
+        )
     g = regions_prepared.withColumnRenamed("minx", "g_minx") \
         .withColumnRenamed("miny", "g_miny") \
         .withColumnRenamed("maxx", "g_maxx") \
@@ -124,8 +130,15 @@ def spatial_join_tiles_regions(
 
     # carry every region column through the join (geom_id, class_name,
     # geometry, stats, plus any caller-supplied attribute columns);
-    # caller guarantees attribute names don't collide with tile columns
-    carry = [c for c in g.columns if c != "cover" and c not in keys]
+    # caller guarantees attribute names don't collide with tile columns.
+    # exclude_carry lets a caller shed dim columns it won't read after
+    # the join — build_labels drops the WKT string (the fattest column)
+    # when every row takes a JVM clip path, cutting the per-candidate
+    # shuffle/broadcast bytes
+    carry = [
+        c for c in g.columns
+        if c != "cover" and c not in keys and c not in exclude_carry
+    ]
     build = g.select(*keys, *carry, F.explode("cover").alias("cell"))
 
     # A broadcast join keeps the probe side's input partitioning; a

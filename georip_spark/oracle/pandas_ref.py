@@ -114,7 +114,7 @@ def build_labels_pd(
             clipped = kernels.clip_multipolygon_to_rect(mp, t.minx, t.miny, t.maxx, t.maxy)
             if not clipped:
                 continue
-            best = max(clipped, key=kernels.polygon_area)
+            best = max(clipped, key=kernels.clip_selection_area)
             ring = best[0]
             w, h = t.maxx - t.minx, t.maxy - t.miny
             u = np.clip((ring[:, 0] - t.minx) / w, 0.0, 1.0)

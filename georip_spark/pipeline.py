@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from georip_spark import functions as GF
-from georip_spark.operators import geom_udfs
+from georip_spark.operators import geom_udfs, jvm_clip
 from georip_spark.operators.joins import (
     DEFAULT_RES,
     auto_res,
@@ -171,19 +171,9 @@ _EPS64 = 2.220446049250313e-16  # np.finfo(float64).eps
 _TWO52 = 4503599627370496.0  # 2^52
 
 
-def _round6_even(x: Column) -> Column:
-    """Bit-exact JVM mirror of ``np.round(x, 6)`` for x ∈ [0, 1]:
-    scale by 1e6, rint (HALF_EVEN on the scaled BINARY double — NOT
-    decimal bround), unscale. rint is the branch-free Math.rint trick
-    (s + 2^52) − 2^52, exact for 0 ≤ s < 2^52 under IEEE
-    round-to-nearest-even — verified against np.round on 410k values
-    including exact .5 ties: 0 mismatches. Branch-free matters:
-    a 3-way CASE version of this expression, inlined ~20× across the
-    coords arrays by CollapseProject, overflowed janino codegen and
-    dropped the whole stage to interpreted mode (7× slower than the
-    Arrow kernel it replaces)."""
-    s = x * F.lit(1000000.0)
-    return ((s + F.lit(_TWO52)) - F.lit(_TWO52)) / F.lit(1000000.0)
+# shared with the general JVM clip path (operators/jvm_clip.py);
+# re-exported here for the rect fast path and the round-trip tests
+_round6_even = jvm_clip.round6_even
 
 
 def _rect_clip_coords() -> Column:
@@ -242,6 +232,7 @@ def build_labels(
     salt: int | None = None,
     broadcast_regions: bool | None = None,
     rect_fast: bool = True,
+    general_jvm: bool = True,
 ) -> DataFrame:
     """Matched (tile × region) pairs → one label row per kept
     annotation: class encoded, geometry clipped to the tile and
@@ -254,7 +245,20 @@ def build_labels(
         tiles_keyed = tiles
     else:
         tiles_keyed = tiles.select("*", *GF.parse_doc_id(F.col("doc_id")))
-    # refine=False: the clip UDF below nulls empty intersections, so
+    # Plan probe BEFORE the join (dim-side, one cheap limit-1 job):
+    # only geometries WITH HOLES still need the Arrow kernel (its
+    # hole-aware largest-part selection); everything else clips in
+    # pure JVM column math. When nothing is holed, the WKT string —
+    # the fattest dim column — is dead weight after the join and is
+    # shed from the carry (the shells array replaces it).
+    any_holed = rect_fast and (
+        not general_jvm
+        or regions_prepared.filter(
+            F.col("is_valid") & F.col("has_holes")
+        ).limit(1).count() > 0
+    )
+    exclude = ("geometry",) if (rect_fast and not any_holed) else ()
+    # refine=False: the clip paths below null empty intersections, so
     # the separate exact-intersects Python pass would be redundant work
     joined = spatial_join_tiles_regions(
         tiles_keyed,
@@ -266,6 +270,7 @@ def build_labels(
         broadcast_regions=broadcast_regions,
         refine=False,
         keep_region_bbox=rect_fast,
+        exclude_carry=exclude,
     )
     # class filter (P4) before the expensive clip UDF
     joined = joined.join(F.broadcast(classes), "class_name", "inner")
@@ -283,34 +288,45 @@ def build_labels(
     if not rect_fast:
         labeled = labeled.withColumn("coords", kernel_coords)
     else:
-        # Plan choice is a dim-side control probe (same pattern as the
-        # broadcast cutoff): if every valid region is a canonical
-        # rectangle — the contract workload — the hot stage is PURE
-        # whole-stage codegen with no ArrowEvalPython at all. On a
-        # mixed corpus the rect rows take the column math and only
-        # genuine polygons reach the Arrow kernel (its geometry input
-        # is masked to 'POLYGON EMPTY' for rect rows, so the Python
-        # side does no parsing work for them either — one memoized
-        # lookup per batch).
-        all_rect = (
-            regions_prepared.filter(
-                F.col("is_valid") & ~F.col("is_rect_blccw")
-            ).limit(1).count() == 0
-        )
+        # Canonical rectangles take closed-form column math; every
+        # OTHER hole-free geometry takes the general JVM
+        # Sutherland–Hodgman (jvm_clip — HOFs over the dim-parsed
+        # shell arrays, bit-identical to the kernel, 0/4000 mismatch
+        # property sweep). When no valid region has holes (the
+        # any_holed probe above) the hot stage has NO ArrowEvalPython
+        # at all.
         fast = _rect_clip_coords()
-        if all_rect:
-            labeled = labeled.withColumn("coords", fast)
+        gen = jvm_clip.clip_normalize_coords(
+            F.col("shells"), F.col("minx"), F.col("miny"),
+            F.col("maxx"), F.col("maxy"),
+            g_bbox=(F.col("g_minx"), F.col("g_miny"),
+                    F.col("g_maxx"), F.col("g_maxy")),
+        )
+        if not any_holed:
+            labeled = labeled.withColumn(
+                "coords",
+                F.when(F.col("is_rect_blccw"), fast).otherwise(gen),
+            )
         else:
+            # three-way: rect column math / hole-free JVM S-H / holed
+            # rows keep the kernel (geometry masked for the other two
+            # so Python parses nothing for them). general_jvm=False
+            # (A/B benchmarking escape hatch) degrades the middle arm
+            # to the kernel too — the round-3 hybrid plan.
+            kernel_mask = (
+                ~F.col("has_holes") if general_jvm else F.col("is_rect_blccw")
+            )
             masked = geom_udfs.clip_and_normalize(
-                F.when(F.col("is_rect_blccw"), F.lit("POLYGON EMPTY"))
+                F.when(kernel_mask, F.lit("POLYGON EMPTY"))
                 .otherwise(F.col("geometry")),
                 F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
             )
-            labeled = labeled.withColumn(
-                "coords",
-                F.when(F.col("is_rect_blccw"), fast).otherwise(masked),
-            )
+            coords = F.when(F.col("is_rect_blccw"), fast)
+            if general_jvm:
+                coords = coords.when(~F.col("has_holes"), gen)
+            labeled = labeled.withColumn("coords", coords.otherwise(masked))
         labeled = labeled.drop("g_minx", "g_miny", "g_maxx", "g_maxy")
+    labeled = labeled.drop("shells", "has_holes")
     labeled = labeled.filter(F.col("coords").isNotNull())
     # drop degenerate clipped slivers: reference prunes sparse
     # intersections (gdf_intersects…non-sparsely,
