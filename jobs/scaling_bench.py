@@ -148,12 +148,34 @@ def _membw(seconds: float) -> float:
     return float(n)
 
 
+def _randacc(seconds: float) -> float:
+    """Random-gather over a 256 MB table — the latency-bound,
+    prefetch-hostile access pattern of hash-join probes and shuffle
+    hash maps, which the streaming `_membw` control does NOT
+    reproduce (hardware prefetchers hide streaming latency; they
+    cannot hide dependent random access, so this is the control that
+    shares-the-LLC-and-TLB like the engine's join stages do)."""
+    import time as _t
+
+    import numpy as _np
+    table = _np.arange(256 * 1024 * 1024 // 8, dtype=_np.int64)
+    rng = _np.random.default_rng(0)
+    idx = rng.integers(0, table.size, size=1 << 20)
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < seconds:
+        n += int(table[idx].sum() & 1) + 1
+    return float(n)
+
+
 def controls(n_lo: int, n_hi: int) -> dict:
-    """Same-window hardware ceilings: pure-CPU and memory-bandwidth
-    scaling from n_lo to n_hi processes."""
+    """Same-window hardware ceilings: pure-CPU, streaming
+    memory-bandwidth, and random-access scaling from n_lo to n_hi
+    processes."""
     import multiprocessing as mp
     out = {}
-    for name, fn in (("cpu", _burn), ("membw", _membw)):
+    for name, fn in (("cpu", _burn), ("membw", _membw),
+                     ("randacc", _randacc)):
         thr = {}
         for procs in (n_lo, n_hi):
             with mp.Pool(procs) as p:

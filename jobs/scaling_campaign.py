@@ -72,6 +72,7 @@ def run_window(idx: int, inp: str, n_docs: int, n_lo: int, n_hi: int,
         "eff_median": round((med_lo / med_hi) / 4.0, 3),
         "cpu_ceiling": ctl["cpu"],
         "membw_ceiling": ctl["membw"],
+        "randacc_ceiling": ctl.get("randacc"),
     }
 
 
