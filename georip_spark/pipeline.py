@@ -97,6 +97,7 @@ def from_docs(
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
+    any_holed: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline FROM the contract docs table: the user
     hands (docs, raster metadata, truth regions) and gets the enriched
@@ -121,7 +122,7 @@ def from_docs(
         broadcast_regions = regions.count() <= 500_000
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
-        broadcast_regions=broadcast_regions,
+        broadcast_regions=broadcast_regions, any_holed=any_holed,
     )
     docs_out = assemble_docs(tiles, labels)
     return {
@@ -233,11 +234,17 @@ def build_labels(
     broadcast_regions: bool | None = None,
     rect_fast: bool = True,
     general_jvm: bool = True,
+    any_holed: bool | None = None,
 ) -> DataFrame:
     """Matched (tile × region) pairs → one label row per kept
     annotation: class encoded, geometry clipped to the tile and
     normalized to [0,1] tile space (rounded 6 — F5 contract), sparse
-    and Background rows dropped (A10/S12 empty-file semantics)."""
+    and Background rows dropped (A10/S12 empty-file semantics).
+
+    any_holed=None probes the dim (one limit-1 job) for holed valid
+    geometries to pick the clip plan; a caller that knows its dim
+    (bench loops, production jobs with a stable dim) passes True/False
+    to skip the probe — same hoisting contract as broadcast_regions."""
     # derive (region, start_year, end_year) join keys from doc_id —
     # the reference's filename-parse matching law (F2/J1); no-op if the
     # caller already attached them
@@ -251,12 +258,11 @@ def build_labels(
     # pure JVM column math. When nothing is holed, the WKT string —
     # the fattest dim column — is dead weight after the join and is
     # shed from the carry (the shells array replaces it).
-    any_holed = rect_fast and (
-        not general_jvm
-        or regions_prepared.filter(
+    if any_holed is None:
+        any_holed = not general_jvm or regions_prepared.filter(
             F.col("is_valid") & F.col("has_holes")
         ).limit(1).count() > 0
-    )
+    any_holed = rect_fast and (any_holed or not general_jvm)
     exclude = ("geometry",) if (rect_fast and not any_holed) else ()
     # refine=False: the clip paths below null empty intersections, so
     # the separate exact-intersects Python pass would be redundant work
@@ -392,6 +398,7 @@ def build_dataset(
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
+    any_holed: bool | None = None,
 ) -> dict[str, DataFrame]:
     """The full forward pipeline. Returns every intermediate so tests
     and jobs can tap any stage.
@@ -411,7 +418,7 @@ def build_dataset(
         broadcast_regions = regions.count() <= 500_000
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
-        broadcast_regions=broadcast_regions,
+        broadcast_regions=broadcast_regions, any_holed=any_holed,
     )
     docs_out = assemble_docs(tiles, labels)
     return {

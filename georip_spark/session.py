@@ -31,6 +31,16 @@ _DEFAULTS = {
     # genuinely small dim (class map, prepared regions when the caller
     # knows they're small) is broadcast explicitly with F.broadcast.
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # 1 MB shuffle write buffers (default 32k): the assemble/join
+    # shuffles write GB-scale fat rows; 32k buffers issue ~30× more
+    # small writes whose page-cache/writeback contention is the
+    # measured N→4N anti-scaling term of the shuffle stages
+    # (jobs/hof_microbench.py genshuf: eff 0.70 → 0.81 and 8-core
+    # time 8.6s → 7.1s with no 2-core cost; tmpfs shuffle dirs give
+    # the same win, confirming the mechanism — bigger buffers are the
+    # fix that transfers to a real cluster).
+    "spark.shuffle.file.buffer": "1m",
+    "spark.shuffle.unsafe.file.output.buffer": "1m",
     "spark.driver.memory": "16g",
     "spark.sql.shuffle.partitions": "64",
     "spark.ui.enabled": "false",

@@ -98,14 +98,29 @@ cores = int(sys.argv[1]); inp = sys.argv[2]; variant = sys.argv[3]
 heap = sys.argv[4] if len(sys.argv) > 4 else "16g"
 gc = sys.argv[5] if len(sys.argv) > 5 else "default"
 jvm_opts = ""
-if gc == "parallel":
-    jvm_opts = "-XX:+UseParallelGC"
-elif gc == "bigyoung":
-    jvm_opts = "-XX:G1NewSizePercent=40 -XX:G1MaxNewSizePercent=70"
 conf = {"spark.sql.shuffle.partitions": str(4 * cores),
         "spark.driver.memory": heap}
+for tok in gc.split("+"):
+    if tok == "parallel":
+        jvm_opts += " -XX:+UseParallelGC"
+    elif tok == "bigyoung":
+        jvm_opts += (" -XX:+UnlockExperimentalVMOptions"
+                     " -XX:G1NewSizePercent=40 -XX:G1MaxNewSizePercent=70")
+    elif tok == "shm":
+        import os as _os
+        _os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        conf["spark.local.dir"] = "/dev/shm/spark-local"
+    elif tok == "zstd":
+        conf["spark.io.compression.codec"] = "zstd"
+    elif tok == "nocomp":
+        conf["spark.shuffle.compress"] = "false"
+    elif tok == "bigbuf":
+        conf["spark.shuffle.file.buffer"] = "1m"
+        conf["spark.shuffle.unsafe.file.output.buffer"] = "1m"
+    elif tok != "default":
+        raise SystemExit(f"unknown conf token {tok}")
 if jvm_opts:
-    conf["spark.driver.extraJavaOptions"] = jvm_opts
+    conf["spark.driver.extraJavaOptions"] = jvm_opts.strip()
 spark = georip_spark.get_spark(
     f"hofmb-{variant}-{cores}", master=f"local[{cores}]", extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
@@ -127,6 +142,30 @@ def expr(df):
                     F.col("g_maxx"), F.col("g_maxy")))
         return df.select(c.alias("coords")).selectExpr(
             "sum(size(coords)) s", "count(coords) c")
+    if variant == "genshuf":
+        # the real hot-stage shape: clip + label-format + a FAT
+        # collect_list shuffle (no map-side reduction, like assemble's
+        # groupBy(doc_id)) — isolates whether shuffle-heavy JVM work
+        # under-scales by GC policy (G1 write barriers / concurrent
+        # refinement vs ParallelGC's plain card table)
+        c = jvm_clip.clip_normalize_coords(
+            F.col("shells"), F.col("minx"), F.col("miny"),
+            F.col("maxx"), F.col("maxy"))
+        d = df.select(F.pmod(F.col("id"), F.lit(50000)).alias("g"),
+                      c.alias("coords"))
+        d = d.filter(F.col("coords").isNotNull())
+        d = d.select(
+            "g",
+            F.concat_ws(
+                " ", F.transform("coords", lambda x: F.round(x, 6)
+                                 .cast("string"))).alias("label"),
+            "coords")
+        agg = d.groupBy("g").agg(
+            F.array_sort(F.collect_list(F.struct("label", "coords")))
+            .alias("rows"))
+        return agg.selectExpr(
+            "sum(aggregate(rows, 0L, (a, r) -> a + size(r.coords))) s",
+            "sum(size(rows)) c")
     if variant == "trivhof":
         # same arrays, trivial interpreted HOF work per element
         s = F.aggregate(F.col("shells")[0], F.lit(0.0),
