@@ -128,6 +128,20 @@ def test_broadcast_join_same_result(spark, tiny, engine_out):
     )
 
 
+def test_any_holed_hoist_same_result(spark, tiny, engine_out):
+    """any_holed=True/False (the hoisted clip-plan decision, same
+    contract as broadcast_regions) must be result-invariant: the synth
+    corpus is hole-free, so False selects the all-JVM plan the probe
+    would pick, and True forces the three-way hybrid with the masked
+    Arrow kernel — both bit-identical to the default probed plan."""
+    rasters, regions = tiny
+    for forced in (False, True):
+        got = build_dataset(rasters, regions, any_holed=forced)
+        assert spans_from_engine(got["docs_out"]) == spans_from_engine(
+            engine_out["docs_out"]
+        ), f"any_holed={forced} changed the output"
+
+
 def test_from_docs_parity(spark, tiny, engine_out):
     """Contract input path: driving the pipeline FROM the docs table
     (posexplode media spans -> parse windows -> rebuild footprints)
