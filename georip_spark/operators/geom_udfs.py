@@ -267,9 +267,19 @@ repair_geometry = repair_geometry.asNondeterministic()
 transform_geometry = transform_geometry.asNondeterministic()
 
 
-def geometry_stats(df, geom_col: str = "geometry"):
+def geometry_stats(df, geom_col: str = "geometry", engine: str = "jvm"):
     """Attach bounds/validity/area/rect-detection struct fields for
-    ``geom_col``."""
+    ``geom_col``.
+
+    engine="jvm" (default): pure Catalyst column math
+    (operators/jvm_wkt.py) — no Arrow transfer, no Python workers on
+    the dim-prepare path. engine="arrow": the original pandas-UDF
+    kernel pass, kept as the parity oracle (test_jvm_wkt sweeps the
+    two against each other) and as an escape hatch."""
+    if engine == "jvm":
+        from georip_spark.operators import jvm_wkt
+
+        return jvm_wkt.attach_stats(df, geom_col)
     return df.withColumn("_g", geom_bounds(F.col(geom_col))).select(
         "*", "_g.minx", "_g.miny", "_g.maxx", "_g.maxy",
         "_g.is_empty", "_g.is_valid", "_g.area", "_g.is_rect_blccw",

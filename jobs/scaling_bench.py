@@ -89,7 +89,7 @@ rw = synth.synth_rasters(spark, 1000)
 gw = synth.synth_regions(spark, rw, polys_per_doc=3)
 build_dataset(rw, gw, broadcast_regions=True)["docs_out"].selectExpr(
     "sum(size(spans))").collect()
-q = max(1000, n_docs // 4)
+q = max(1000, n_docs // 8)
 rq = synth.synth_rasters(spark, q)
 gq = synth.synth_regions(spark, rq, polys_per_doc=3)
 build_dataset(rq, gq, broadcast_regions=q * 3 <= 500_000)["docs_out"].selectExpr(
