@@ -186,6 +186,23 @@ def _clip_shell(
     )
 
 
+def _norm_closed_ring(
+    ring: Column, minx: Column, maxy: Column, w: Column, h: Column
+) -> Column:
+    """Selected UNCLOSED ring -> closed, tile-normalized, rounded flat
+    [u0, v0, ...] (the kernel's normalize contract)."""
+
+    def norm(p: Column) -> Column:
+        u = round6_even(_clip01((p["x"] - minx) / w))
+        v = round6_even(_clip01((maxy - p["y"]) / h))
+        return F.array(u, v)
+
+    return _let(
+        ring,
+        lambda r: F.flatten(F.transform(F.concat(r, F.slice(r, 1, 1)), norm)),
+    )
+
+
 def clip_normalize_coords(
     shells: Column,
     minx: Column,
@@ -226,11 +243,6 @@ def clip_normalize_coords(
         lambda c: c["ok"],
     )
 
-    def norm(p: Column) -> Column:
-        u = round6_even(_clip01((p["x"] - minx) / w))
-        v = round6_even(_clip01((maxy - p["y"]) / h))
-        return F.array(u, v)
-
     return F.aggregate(
         cands,
         F.lit(None).cast(_CAND_TYPE),
@@ -239,11 +251,95 @@ def clip_normalize_coords(
         ).otherwise(acc),
         lambda acc: F.when(
             acc.isNotNull(),
-            _let(
-                acc["ring"],
-                lambda ring: F.flatten(
-                    F.transform(F.concat(ring, F.slice(ring, 1, 1)), norm)
+            _norm_closed_ring(acc["ring"], minx, maxy, w, h),
+        ),
+    )
+
+
+def clip_normalize_coords_mp(
+    rings: Column,
+    minx: Column,
+    miny: Column,
+    maxx: Column,
+    maxy: Column,
+    g_bbox: tuple[Column, Column, Column, Column] | None = None,
+) -> Column:
+    """Hole-AWARE JVM mirror of geom_udfs.clip_and_normalize: the input
+    is the full nested ring structure (per polygon: shell first, then
+    holes; each ring flat UNCLOSED [x0,y0,…] — jvm_wkt.rings_expr).
+
+    Kernel semantics mirrored exactly (kernels.clip_multipolygon_to_rect
+    + clip_selection_area + geom_udfs.clip_and_normalize):
+    - every ring (shell AND hole) is clipped by the same four-pass S-H
+      with the same zero-area floor; a polygon whose SHELL clips away
+      is dropped whole; a hole that clips away just stops subtracting;
+    - the selection key is |shell| − Σ|holes| over the CLIPPED rings
+      (kernels.clip_selection_area — signed sequential ring-local
+      shoelace, so both paths agree on last-ULP near-ties). Unlike the
+      hole-free path the key can be NEGATIVE (holes bigger than the
+      surviving shell), so the max compares the key DIRECTLY — which
+      for hole-free parts (key = |area|) is the same ordering the
+      hole-free path's abs-compare produces;
+    - first-wins ties via strictly-greater replacement (Python max);
+    - output = the winning polygon's SHELL, closed + normalized.
+
+    g_bbox: same whole-geometry-inside-tile shortcut as the hole-free
+    path — the stats bounds cover every ring's vertices (shell and
+    holes), so `inside` makes every ring's clip the identity."""
+    w = maxx - minx
+    h = maxy - miny
+    if g_bbox is not None:
+        gx0, gy0, gx1, gy1 = g_bbox
+        inside = (
+            (gx0 >= minx) & (gx1 <= maxx) & (gy0 >= miny) & (gy1 <= maxy)
+        )
+        clip_one = lambda r: F.when(  # noqa: E731
+            inside, _let(_to_pts(r), _finish)
+        ).otherwise(_clip_shell(r, minx, miny, maxx, maxy))
+    else:
+        clip_one = lambda r: _clip_shell(r, minx, miny, maxx, maxy)  # noqa: E731
+
+    def clip_poly(poly: Column) -> Column:
+        def body(shell_c: Column) -> Column:
+            holes = F.slice(poly, 2, F.greatest(F.size(poly) - 1, F.lit(0)))
+            # kernel subtraction order: holes in declaration order,
+            # each |seq area|; floor-failing holes contribute nothing
+            key = F.aggregate(
+                holes,
+                F.abs(shell_c["area"]),
+                lambda acc, hr: acc
+                - _let(
+                    clip_one(hr),
+                    lambda hc: F.when(
+                        hc["ok"], F.abs(hc["area"])
+                    ).otherwise(F.lit(0.0)),
                 ),
-            ),
+            )
+            return F.struct(
+                shell_c["ok"].alias("ok"),
+                shell_c["ring"].alias("ring"),
+                key.alias("area"),
+            )
+
+        # kernel skips ring-less polygons outright (`if poly else
+        # None`); null candidates fall out of the ok-filter below
+        return F.when(
+            F.size(poly) > 0, _let(clip_one(F.get(poly, 0)), body)
+        ).otherwise(F.lit(None).cast(_CAND_TYPE))
+
+    cands = F.filter(
+        F.transform(rings, clip_poly),
+        lambda c: c["ok"],
+    )
+    return F.aggregate(
+        cands,
+        F.lit(None).cast(_CAND_TYPE),
+        # DIRECT key compare (key may be negative; see docstring)
+        lambda acc, c: F.when(
+            acc.isNull() | (c["area"] > acc["area"]), c
+        ).otherwise(acc),
+        lambda acc: F.when(
+            acc.isNotNull(),
+            _norm_closed_ring(acc["ring"], minx, maxy, w, h),
         ),
     )

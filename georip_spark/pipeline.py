@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from georip_spark import functions as GF
-from georip_spark.operators import geom_udfs, jvm_clip
+from georip_spark.operators import geom_udfs, jvm_clip, jvm_wkt
 from georip_spark.operators.joins import (
     DEFAULT_RES,
     auto_res,
@@ -253,17 +253,30 @@ def build_labels(
     else:
         tiles_keyed = tiles.select("*", *GF.parse_doc_id(F.col("doc_id")))
     # Plan probe BEFORE the join (dim-side, one cheap limit-1 job):
-    # only geometries WITH HOLES still need the Arrow kernel (its
-    # hole-aware largest-part selection); everything else clips in
-    # pure JVM column math. When nothing is holed, the WKT string —
-    # the fattest dim column — is dead weight after the join and is
-    # shed from the carry (the shells array replaces it).
+    # holed geometries need the hole-aware clip (jvm_clip.…_mp, which
+    # wants the full nested ring arrays), hole-free ones the cheaper
+    # shell-only paths. Under general_jvm EVERY arm is pure JVM column
+    # math, so the WKT string — the fattest dim column — is always
+    # dead weight after the join and is shed from the carry (shells /
+    # rings arrays replace it); the Arrow kernel remains only as the
+    # general_jvm=False escape hatch / A-B oracle.
     if any_holed is None:
         any_holed = not general_jvm or regions_prepared.filter(
             F.col("is_valid") & F.col("has_holes")
         ).limit(1).count() > 0
     any_holed = rect_fast and (any_holed or not general_jvm)
-    exclude = ("geometry",) if (rect_fast and not any_holed) else ()
+    if rect_fast and general_jvm and any_holed:
+        # nested ring arrays, materialized dim-side for holed rows
+        # only (the CASE arm keeps hole-free rows from paying the
+        # second parse); invalid rows are Backgrounded before the clip
+        regions_prepared = regions_prepared.withColumn(
+            "rings",
+            F.when(
+                F.col("is_valid") & F.col("has_holes"),
+                jvm_wkt.rings_expr(F.col("geometry")),
+            ),
+        )
+    exclude = ("geometry",) if (rect_fast and general_jvm) else ()
     # refine=False: the clip paths below null empty intersections, so
     # the separate exact-intersects Python pass would be redundant work
     joined = spatial_join_tiles_regions(
@@ -313,26 +326,40 @@ def build_labels(
                 "coords",
                 F.when(F.col("is_rect_blccw"), fast).otherwise(gen),
             )
-        else:
-            # three-way: rect column math / hole-free JVM S-H / holed
-            # rows keep the kernel (geometry masked for the other two
-            # so Python parses nothing for them). general_jvm=False
-            # (A/B benchmarking escape hatch) degrades the middle arm
-            # to the kernel too — the round-3 hybrid plan.
-            kernel_mask = (
-                ~F.col("has_holes") if general_jvm else F.col("is_rect_blccw")
+        elif general_jvm:
+            # three-way, ALL JVM: rect column math / hole-free S-H
+            # over shells / holed rows hole-aware S-H over the full
+            # ring arrays (largest |shell|−Σ|holes| part selection,
+            # jvm_clip.clip_normalize_coords_mp) — zero Python on the
+            # hot stage for EVERY input shape.
+            gen_mp = jvm_clip.clip_normalize_coords_mp(
+                F.col("rings"), F.col("minx"), F.col("miny"),
+                F.col("maxx"), F.col("maxy"),
+                g_bbox=(F.col("g_minx"), F.col("g_miny"),
+                        F.col("g_maxx"), F.col("g_maxy")),
             )
+            labeled = labeled.withColumn(
+                "coords",
+                F.when(F.col("is_rect_blccw"), fast)
+                .when(~F.col("has_holes"), gen)
+                .otherwise(gen_mp),
+            )
+        else:
+            # general_jvm=False (A/B benchmarking escape hatch /
+            # kernel oracle): rect column math, everything else the
+            # Arrow kernel (geometry masked for rects so Python parses
+            # nothing for them) — the round-3 hybrid plan.
             masked = geom_udfs.clip_and_normalize(
-                F.when(kernel_mask, F.lit("POLYGON EMPTY"))
+                F.when(F.col("is_rect_blccw"), F.lit("POLYGON EMPTY"))
                 .otherwise(F.col("geometry")),
                 F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
             )
-            coords = F.when(F.col("is_rect_blccw"), fast)
-            if general_jvm:
-                coords = coords.when(~F.col("has_holes"), gen)
-            labeled = labeled.withColumn("coords", coords.otherwise(masked))
+            labeled = labeled.withColumn(
+                "coords",
+                F.when(F.col("is_rect_blccw"), fast).otherwise(masked),
+            )
         labeled = labeled.drop("g_minx", "g_miny", "g_maxx", "g_maxy")
-    labeled = labeled.drop("shells", "has_holes")
+    labeled = labeled.drop("shells", "has_holes", "rings")
     labeled = labeled.filter(F.col("coords").isNotNull())
     # drop degenerate clipped slivers: reference prunes sparse
     # intersections (gdf_intersects…non-sparsely,
