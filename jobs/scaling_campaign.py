@@ -70,6 +70,8 @@ def run_window(idx: int, inp: str, n_docs: int, n_lo: int, n_hi: int,
         "started_unix": round(t0),
         "wall_min": round((time.time() - t0) / 60, 1),
         "n_docs": n_docs,
+        "n_lo": n_lo,
+        "n_hi": n_hi,
         "spans": spans,
         "runs_N": lo_runs,
         "runs_4N": hi_runs,

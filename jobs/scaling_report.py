@@ -24,7 +24,8 @@ import sys
 PATH = "BENCH/scaling_windows.jsonl"
 
 
-def load(since: int | None, n_docs: int = 256000) -> list[dict]:
+def load(since: int | None, n_docs: int = 256000,
+         pair: tuple[int, int] | None = None) -> list[dict]:
     rows = []
     with open(PATH) as f:
         for line in f:
@@ -32,6 +33,11 @@ def load(since: int | None, n_docs: int = 256000) -> list[dict]:
             if r.get("n_docs") != n_docs:
                 continue
             if since and r["started_unix"] < since:
+                continue
+            # windows recorded before the pair field existed are 2->8
+            r.setdefault("n_lo", 2)
+            r.setdefault("n_hi", 8)
+            if pair and (r["n_lo"], r["n_hi"]) != pair:
                 continue
             rows.append(r)
     return rows
@@ -42,20 +48,25 @@ def main() -> None:
     md = "--md" in sys.argv
     if "--since" in sys.argv:
         since = int(sys.argv[sys.argv.index("--since") + 1])
-    rows = load(since)
+    pair = None
+    if "--pair" in sys.argv:
+        lo, hi = sys.argv[sys.argv.index("--pair") + 1].split(",")
+        pair = (int(lo), int(hi))
+    rows = load(since, pair=pair)
     if not rows:
         print("no windows")
         return
 
     out = []
-    hdr = (f"| window (unix) | runs N (s) | runs 4N (s) | eff best | "
-           f"eff med | cpu ceil | membw ceil | eff/cpu-ceil |")
+    hdr = (f"| window (unix) | pair | runs N (s) | runs 4N (s) | "
+           f"eff best | eff med | cpu ceil | membw ceil | eff/cpu-ceil |")
     out.append(hdr)
-    out.append("|---|---|---|---|---|---|---|---|")
+    out.append("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         ratio = round(r["eff_best"] / r["cpu_ceiling"], 2)
         out.append(
-            f"| {r['started_unix']} | {r['runs_N']} | {r['runs_4N']} | "
+            f"| {r['started_unix']} | {r['n_lo']}\u2192{r['n_hi']} | "
+            f"{r['runs_N']} | {r['runs_4N']} | "
             f"**{r['eff_best']}** | {r['eff_median']} | {r['cpu_ceiling']} | "
             f"{r['membw_ceiling']} | {ratio} |")
     calm = [r for r in rows if r["cpu_ceiling"] >= 0.9]
@@ -103,8 +114,8 @@ Headline (best calm window, CPU control ≥ 0.9, current code):
 
 | config | docs | spans | best (s) | all runs (s) | spans/s (best) |
 |---|---|---|---|---|---|
-| local[2] (N) | {best['n_docs']} | {best['spans']} | {min(best['runs_N'])} | {best['runs_N']} | {thr_n} |
-| local[8] (4N) | {best['n_docs']} | {best['spans']} | {min(best['runs_4N'])} | {best['runs_4N']} | {thr_4n} |
+| local[{best['n_lo']}] (N) | {best['n_docs']} | {best['spans']} | {min(best['runs_N'])} | {best['runs_N']} | {thr_n} |
+| local[{best['n_hi']}] (4N) | {best['n_docs']} | {best['spans']} | {min(best['runs_4N'])} | {best['runs_4N']} | {thr_4n} |
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 =
 {best['eff_best']} (best-run); {best['eff_median']} (median)** — same-window
