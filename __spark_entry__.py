@@ -1406,6 +1406,104 @@ def _q34_sql() -> str:
 _Q34_SQL = _q34_sql()
 
 
+def q35_holed_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hole-aware clip + largest-part selection, driver-gated (round-4
+    session 5; jvm_clip.clip_normalize_coords_mp over
+    jvm_wkt.rings_expr — the all-JVM hot-path arm for holed
+    geometries). Deterministic fixtures from `documents`: per doc i, a
+    MULTIPOLYGON of part A = rect shell with a rect hole (key =
+    wa·ha − hw·hh) and part B = solid rect (key = wb·hb), everything
+    strictly inside the 100×100 tile with integer coords, so DuckDB
+    derives the winner and its normalized closed shell from pure
+    integer arithmetic while Spark runs the real parse → 4-pass S-H →
+    |shell|−Σ|holes| selection → round-6 normalize. Ties keep part A
+    on both sides (kernel: strictly-greater replacement; oracle:
+    key_b > key_a). Reference semantics:
+    georip/geoprocessing/mapping.py:259-261 (shapely intersection →
+    largest part), re-derived."""
+    from georip_spark.operators import jvm_clip, jvm_wkt
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    p = (
+        d.select("doc_id").withColumn("i", F.row_number().over(w) - 1)
+        .filter(F.col("i") < 200)
+        .select(
+            "doc_id",
+            (F.lit(20) + (F.col("i") * 7) % 31).alias("wa"),
+            (F.lit(20) + (F.col("i") * 11) % 29).alias("ha"),
+            (F.lit(15) + (F.col("i") * 13) % 25).alias("wb"),
+            (F.lit(15) + (F.col("i") * 17) % 23).alias("hb"),
+            "i",
+        )
+        .select(
+            "*",
+            (F.lit(1) + (F.col("i") * 3) % (F.col("wa") - 5)).alias("hw"),
+            (F.lit(1) + (F.col("i") * 5) % (F.col("ha") - 5)).alias("hh"),
+        )
+    )
+    wkt = F.format_string(
+        "MULTIPOLYGON (((10 10, %s 10, %s %s, 10 %s, 10 10), "
+        "(12 12, %s 12, %s %s, 12 %s, 12 12)), "
+        "((60 60, %s 60, %s %s, 60 %s, 60 60)))",
+        F.lit(10) + F.col("wa"), F.lit(10) + F.col("wa"),
+        F.lit(10) + F.col("ha"), F.lit(10) + F.col("ha"),
+        F.lit(12) + F.col("hw"), F.lit(12) + F.col("hw"),
+        F.lit(12) + F.col("hh"), F.lit(12) + F.col("hh"),
+        F.lit(60) + F.col("wb"), F.lit(60) + F.col("wb"),
+        F.lit(60) + F.col("hb"), F.lit(60) + F.col("hb"),
+    )
+    coords = jvm_clip.clip_normalize_coords_mp(
+        jvm_wkt.rings_expr(wkt),
+        F.lit(0.0), F.lit(0.0), F.lit(100.0), F.lit(100.0),
+    )
+    return (
+        p.select("doc_id", F.posexplode(coords).alias("pos", "val"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "val")
+        .orderBy("doc_id", "pos")
+    )
+
+
+_Q35_SQL = """
+WITH docs AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+    FROM documents ORDER BY doc_id LIMIT 200
+),
+params AS (
+    SELECT doc_id,
+        20 + (i*7) % 31 AS wa, 20 + (i*11) % 29 AS ha,
+        15 + (i*13) % 25 AS wb, 15 + (i*17) % 23 AS hb,
+        1 + (i*3) % (20 + (i*7) % 31 - 5) AS hw,
+        1 + (i*5) % (20 + (i*11) % 29 - 5) AS hh
+    FROM docs
+),
+keyed AS (
+    SELECT *,
+        CASE WHEN wb*hb > wa*ha - hw*hh THEN 1 ELSE 0 END AS win_b
+    FROM params
+),
+rect AS (  -- winning shell as (x0, y0, x1, y1)
+    SELECT doc_id,
+        CASE WHEN win_b = 1 THEN 60 ELSE 10 END AS x0,
+        CASE WHEN win_b = 1 THEN 60 ELSE 10 END AS y0,
+        CASE WHEN win_b = 1 THEN 60 + wb ELSE 10 + wa END AS x1,
+        CASE WHEN win_b = 1 THEN 60 + hb ELSE 10 + ha END AS y1
+    FROM keyed
+),
+flat AS (  -- closed BL-CCW ring, interleaved u,v at pos 0..9
+    SELECT doc_id, unnest(generate_series(0, 9)) AS pos, x0, y0, x1, y1
+    FROM rect
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+    CASE WHEN pos % 2 = 0 THEN  -- u = x/100, vertex j = pos//2
+        (CASE WHEN FLOOR(pos / 2) IN (1, 2) THEN x1 ELSE x0 END) / 100.0
+    ELSE                        -- v = (100 - y)/100
+        (100.0 - (CASE WHEN FLOOR(pos / 2) IN (2, 3) THEN y1 ELSE y0 END)) / 100.0
+    END AS val
+FROM flat ORDER BY doc_id, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1442,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_spans_build_dataset": q32_spans_build_dataset,
         "q33_lineage_resume": q33_lineage_resume,
         "q34_ann_topk_lsh": q34_ann_topk_lsh,
+        "q35_holed_clip": q35_holed_clip,
     }
 
 
@@ -1481,4 +1580,5 @@ def oracle_sql() -> dict[str, str]:
         "q32_spans_build_dataset": _Q31_SQL,
         "q33_lineage_resume": _Q31_SQL,
         "q34_ann_topk_lsh": _Q34_SQL,
+        "q35_holed_clip": _Q35_SQL,
     }
