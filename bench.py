@@ -123,7 +123,13 @@ def main() -> None:
     # runs are cheap (1.5-3s) and their round-3 records demonstrably
     # lost the noisy-window lottery at n_min=2 (q09 recorded 2.81s vs
     # 1.6-1.8s in same-day fresh runs).
-    budgets = {"q09_tile_grid": (3, 7, 1.3), "q10_pip_join": (3, 7, 1.3)}
+    budgets = {
+        "q09_tile_grid": (3, 7, 1.3),
+        "q10_pip_join": (3, 7, 1.3),
+        # q11's r03 record drifted -8% inside this VM's documented
+        # noise band; same treatment as the fan-out queries
+        "q11_knn": (3, 7, 1.3),
+    }
     for name in names:
 
         def run_query(name=name):

