@@ -72,6 +72,7 @@ def run_window(idx: int, inp: str, n_docs: int, n_lo: int, n_hi: int,
         "n_docs": n_docs,
         "n_lo": n_lo,
         "n_hi": n_hi,
+        "n_regions_rule": n_regions,
         "spans": spans,
         "runs_N": lo_runs,
         "runs_4N": hi_runs,
@@ -107,6 +108,17 @@ def main() -> None:
         inp = tempfile.mkdtemp(prefix=f"scaling_campaign_{n_docs}_")
         n_regions = prepare_inputs(n_docs, inp)
         print(json.dumps({"prep": inp, "n_regions": n_regions}), flush=True)
+
+    # SCALING_FORCE_REGIONS overrides the dim-size the workers use for
+    # their broadcast-vs-shuffle-hash decision (the actual input is
+    # unchanged): at small n the 192k dim would take the broadcast
+    # path, whose driver-serial build is a fixed term that depresses
+    # the ratio for reasons a 100 TB dim never sees — the record
+    # config is the shuffle-hash regime, so the small-n secondary
+    # points force it too (same as jobs/pair_probe.py).
+    forced = int(os.environ.get("SCALING_FORCE_REGIONS", "0"))
+    if forced:
+        n_regions = forced
 
     os.makedirs("BENCH", exist_ok=True)
     results = []
