@@ -59,7 +59,18 @@ n_docs = int(sys.argv[3])
 n_runs = int(sys.argv[4])
 n_regions = int(sys.argv[5])
 shm = len(sys.argv) > 6 and sys.argv[6] == "shm"
+pin = len(sys.argv) > 7 and sys.argv[7] == "pin"
 conf = {"spark.sql.shuffle.partitions": str(4 * cores)}
+if pin:
+    # the parent wrapped us in `taskset -c 0..cores-1`; make the JVM's
+    # ergonomics (GC/JIT/netty pool sizing) agree that this is an
+    # N-core machine instead of sizing 23 GC threads for 32 CPUs that
+    # all timeshare one pinned core
+    # G1 on both sides: ergonomics would pick SerialGC at 1 active
+    # processor and a parallel collector at 4+, a GC-policy
+    # discontinuity that isn't the thing being measured
+    conf["spark.driver.extraJavaOptions"] = (
+        f"-XX:ActiveProcessorCount={cores} -XX:+UseG1GC")
 if shm:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     conf["spark.local.dir"] = "/dev/shm/spark-local"
@@ -119,11 +130,25 @@ def prepare_inputs(n_docs: int, out_dir: str) -> int:
 
 
 def run_block(cores: int, inp: str, n_docs: int, n_runs: int,
-              n_regions: int, shm: bool) -> dict:
+              n_regions: int, shm: bool, pin: bool = False) -> dict:
+    """One fresh-JVM block at `cores` task threads.
+
+    pin=True wraps the whole worker process tree in
+    `taskset -c 0..cores-1` (+ -XX:ActiveProcessorCount inside): an
+    unpinned local[N] JVM still runs its GC, JIT, netty and the
+    kernel's writeback on all 32 physical cores, which gifts the LOW
+    side free parallelism a real N-core executor never has and
+    understates N→4N efficiency. Pinning is the faithful cluster
+    proxy: "N cores" bounds everything the executor does.
+    """
+    cmd = [sys.executable, "-c", WORKER, str(cores), inp, str(n_docs),
+           str(n_runs), str(n_regions), ("shm" if shm else "disk")]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
+               *cmd, "pin"]
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), inp, str(n_docs),
-         str(n_runs), str(n_regions), ("shm" if shm else "disk")],
-        capture_output=True, text=True, cwd=_repo_root(), timeout=6000,
+        cmd,
+        capture_output=True, text=True, cwd=_repo_root(), timeout=9000,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
@@ -193,7 +218,8 @@ def main():
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     runs_per_block = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     blocks = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-    shm = len(sys.argv) > 5 and sys.argv[5] == "shm"
+    shm = "shm" in sys.argv[5:]
+    pin = "pin" in sys.argv[5:]
     n_hi = 4 * n_lo
 
     import tempfile
@@ -206,7 +232,8 @@ def main():
     ceilings = []
     for b in range(blocks):
         for cores in (n_lo, n_hi):
-            r = run_block(cores, inp, n_docs, runs_per_block, n_regions, shm)
+            r = run_block(cores, inp, n_docs, runs_per_block, n_regions,
+                          shm, pin)
             runs[cores].extend(r["all_runs_sec"])
             spans = r["spans"]
             print(json.dumps({"block": b, **r}))

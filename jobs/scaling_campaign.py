@@ -51,13 +51,15 @@ def run_window(idx: int, inp: str, n_docs: int, n_lo: int, n_hi: int,
     levels sample the same minutes of VM weather (the round-3 protocol
     the round-2 verdict demanded), then hardware controls."""
     t0 = time.time()
+    pin = os.environ.get("SCALING_PIN", "") == "1"
     lo_runs, hi_runs, spans = [], [], 0
     for _ in range(blocks):
         # noise only inflates times and only an inflated HI side can
         # overstate efficiency's denominator, so the hi level may take
         # more runs per block (min-of-more) than the costly lo level
-        lo = run_block(n_lo, inp, n_docs, runs, n_regions, False)
-        hi = run_block(n_hi, inp, n_docs, runs_hi or runs, n_regions, False)
+        lo = run_block(n_lo, inp, n_docs, runs, n_regions, False, pin)
+        hi = run_block(n_hi, inp, n_docs, runs_hi or runs, n_regions, False,
+                       pin)
         lo_runs += lo["all_runs_sec"]
         hi_runs += hi["all_runs_sec"]
         spans = lo["spans"]
@@ -73,6 +75,7 @@ def run_window(idx: int, inp: str, n_docs: int, n_lo: int, n_hi: int,
         "n_lo": n_lo,
         "n_hi": n_hi,
         "n_regions_rule": n_regions,
+        "pinned": pin,
         "spans": spans,
         "runs_N": lo_runs,
         "runs_4N": hi_runs,
