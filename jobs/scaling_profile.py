@@ -31,7 +31,7 @@ sys.path.insert(0, ".")
 from scaling_bench import prepare_inputs  # noqa: E402
 
 WORKER = r"""
-import json, sys, time, urllib.request
+import json, os, sys, time, urllib.request
 from datetime import datetime, timezone
 sys.path.insert(0, ".")
 import georip_spark
@@ -43,12 +43,20 @@ def ts(s):
                              "%Y-%m-%dT%H:%M:%S.%f%z").timestamp()
 
 cores = int(sys.argv[1]); inp = sys.argv[2]; n_regions = int(sys.argv[3])
+pin = len(sys.argv) > 4 and sys.argv[4] == "pin"
+conf = {"spark.sql.shuffle.partitions": str(4 * cores),
+        "spark.ui.enabled": "true"}
+conf.update(json.loads(os.environ.get("PROFILE_EXTRA_CONF", "{}")))
+if pin:
+    conf["spark.driver.extraJavaOptions"] = (
+        f"-XX:ActiveProcessorCount={cores} -XX:+UseG1GC")
 spark = georip_spark.get_spark(
-    f"prof-{cores}", master=f"local[{cores}]",
-    extra_conf={"spark.sql.shuffle.partitions": str(4 * cores),
-                "spark.ui.enabled": "true"},
+    f"prof-{cores}", master=f"local[{cores}]", extra_conf=conf,
 )
 spark.sparkContext.setLogLevel("ERROR")
+from georip_spark.operators.joins import prepare_regions
+holed = (prepare_regions(spark.read.parquet(inp + "/regions"))
+         .filter("is_valid AND has_holes").limit(1).count() > 0)
 rw = synth.synth_rasters(spark, 1000)
 gw = synth.synth_regions(spark, rw, polys_per_doc=3)
 build_dataset(rw, gw, broadcast_regions=True)["docs_out"].selectExpr(
@@ -64,7 +72,8 @@ seen = {s["stageId"] for s in stages()}
 
 rasters = spark.read.parquet(inp + "/rasters")
 regions = spark.read.parquet(inp + "/regions")
-out = build_dataset(rasters, regions, broadcast_regions=n_regions <= 500_000)
+out = build_dataset(rasters, regions, broadcast_regions=n_regions <= 500_000,
+                    any_holed=holed)
 t0 = time.time()
 r = out["docs_out"].selectExpr("count(*) c", "sum(size(spans)) s").collect()[0]
 wall = time.time() - t0
@@ -99,11 +108,17 @@ def main() -> None:
         prepare_inputs(n_docs, inp)
     n_regions = 3 * n_docs
 
+    pin = "pin" in sys.argv[4:] or os.environ.get("SCALING_PIN") == "1"
     results = {}
     for cores in (hi, lo):
+        cmd = [sys.executable, "-c", WORKER, str(cores), inp,
+               str(n_regions)]
+        if pin:
+            cmd = ["taskset", "-c",
+                   f"0-{cores - 1}" if cores > 1 else "0", *cmd, "pin"]
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cores), inp, str(n_regions)],
-            capture_output=True, text=True, cwd=".", timeout=3000,
+            cmd,
+            capture_output=True, text=True, cwd=".", timeout=6000,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("PROF ")]
         if not line:
@@ -117,14 +132,25 @@ def main() -> None:
     his = results[hi]["stages"]
     print(f"\n{'stage(name)':44} {'tasks lo/hi':>11} {'lo_s':>7} {'hi_s':>7} "
           f"{'spd':>4} {'cpu/run lo':>10} {'hi':>5} {'gc lo/hi':>9} {'shw_mb':>7}")
-    for a, b in zip(los, his):
-        spd = round(a["wall_s"] / b["wall_s"], 1) if b["wall_s"] > 0.01 else float("inf")
-        cr_lo = round(a["cpu_s"] / a["run_s"], 2) if a["run_s"] > 0.01 else 0
-        cr_hi = round(b["cpu_s"] / b["run_s"], 2) if b["run_s"] > 0.01 else 0
-        flag = "  <== NON-SCALING" if (a["wall_s"] > 2 and spd < 2.0) else ""
-        print(f"{b['name'][:44]:44} {a['tasks']:>4}/{b['tasks']:<5} "
-              f"{a['wall_s']:>7} {b['wall_s']:>7} {spd:>4} {cr_lo:>10} {cr_hi:>5} "
-              f"{a['gc_s']:>4}/{b['gc_s']:<4} {b['shw_mb']:>7}{flag}")
+    if [s["name"] for s in los] != [s["name"] for s in his]:
+        print("!! stage-name sequences differ between levels — full "
+              "per-side dumps below instead of positional pairing")
+        for label, side in (("lo", los), ("hi", his)):
+            print(f"-- {label} stages --")
+            for s in side:
+                cr = round(s["cpu_s"] / s["run_s"], 2) if s["run_s"] > 0.01 else 0
+                print(f"  {s['stage']:>4} {s['name'][:52]:52} t={s['tasks']:<4} "
+                      f"wall={s['wall_s']:>7} run={s['run_s']:>7} "
+                      f"cpu/run={cr:>5} gc={s['gc_s']:>5} shw={s['shw_mb']:>7}MB")
+    else:
+        for a, b in zip(los, his):
+            spd = round(a["wall_s"] / b["wall_s"], 1) if b["wall_s"] > 0.01 else float("inf")
+            cr_lo = round(a["cpu_s"] / a["run_s"], 2) if a["run_s"] > 0.01 else 0
+            cr_hi = round(b["cpu_s"] / b["run_s"], 2) if b["run_s"] > 0.01 else 0
+            flag = "  <== NON-SCALING" if (a["wall_s"] > 2 and spd < 2.0) else ""
+            print(f"{b['name'][:44]:44} {a['tasks']:>4}/{b['tasks']:<5} "
+                  f"{a['wall_s']:>7} {b['wall_s']:>7} {spd:>4} {cr_lo:>10} {cr_hi:>5} "
+                  f"{a['gc_s']:>4}/{b['gc_s']:<4} {b['shw_mb']:>7}{flag}")
     lo_sum = round(sum(s["wall_s"] for s in los), 1)
     hi_sum = round(sum(s["wall_s"] for s in his), 1)
     print(json.dumps({"input": inp, "lo_stage_wall_sum": lo_sum,
