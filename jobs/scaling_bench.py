@@ -71,6 +71,14 @@ if pin:
     # discontinuity that isn't the thing being measured
     conf["spark.driver.extraJavaOptions"] = (
         f"-XX:ActiveProcessorCount={cores} -XX:+UseG1GC")
+    # heap scales with cores: a cluster of 4N executors has 4x the
+    # aggregate heap of N executors (per-executor memory is fixed),
+    # so the faithful proxy gives each task thread the same heap
+    # share at both levels (4g/core) — a fixed 16g heap would starve
+    # the hi side 4x on allocation headroom, inflating its GC
+    # frequency for a reason no real cluster sees. +2g is the
+    # driver's own bookkeeping, which exists once at any size.
+    conf["spark.driver.memory"] = f"{2 + 4 * cores}g"
 if shm:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     conf["spark.local.dir"] = "/dev/shm/spark-local"

@@ -50,6 +50,7 @@ conf.update(json.loads(os.environ.get("PROFILE_EXTRA_CONF", "{}")))
 if pin:
     conf["spark.driver.extraJavaOptions"] = (
         f"-XX:ActiveProcessorCount={cores} -XX:+UseG1GC")
+    conf["spark.driver.memory"] = f"{2 + 4 * cores}g"  # heap ∝ cores
 spark = georip_spark.get_spark(
     f"prof-{cores}", master=f"local[{cores}]", extra_conf=conf,
 )
