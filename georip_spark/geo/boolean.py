@@ -275,17 +275,37 @@ def union_geometry(mps: list[MultiPolygon]) -> MultiPolygon:
     def q(v: float) -> int:
         return int(round(v / tol))
 
+    # Node identity must be tolerance-transitive, not bucket-exact:
+    # two endpoints within tol of each other can still round into
+    # ADJACENT buckets (the quantization-boundary problem), which
+    # splits one graph node in two, dead-ends the chain there, and
+    # silently drops a whole face (caught by the area self-check).
+    # Resolve every endpoint to the first-registered node within one
+    # bucket in each direction instead.
+    _nodes: set[tuple] = set()
+
+    def node(x: float, y: float) -> tuple:
+        kx, ky = q(x), q(y)
+        if (kx, ky) in _nodes:
+            return (kx, ky)
+        for dx in (0, 1, -1):
+            for dy in (0, 1, -1):
+                if (kx + dx, ky + dy) in _nodes:
+                    return (kx + dx, ky + dy)
+        _nodes.add((kx, ky))
+        return (kx, ky)
+
     starts: dict[tuple, list] = {}
     for i, (xa, ya, xb, yb) in enumerate(frags):
         if abs(xa - xb) <= tol and abs(ya - yb) <= tol:
             continue
-        starts.setdefault((q(xa), q(ya)), []).append(i)
+        starts.setdefault(node(xa, ya), []).append(i)
     used = [False] * len(frags)
     rings = []
     for i0 in range(len(frags)):
         if used[i0]:
             continue
-        start_key = (q(frags[i0][0]), q(frags[i0][1]))
+        start_key = node(frags[i0][0], frags[i0][1])
         chain = []
         i = i0
         guard = 0
@@ -297,7 +317,7 @@ def union_geometry(mps: list[MultiPolygon]) -> MultiPolygon:
             used[i] = True
             xa, ya, xb, yb = frags[i]
             chain.append((xa, ya))
-            key = (q(xb), q(yb))
+            key = node(xb, yb)
             if key == start_key:
                 # closed — stopping here (not at fragment exhaustion)
                 # also splits figure-eight pinches into separate rings
@@ -324,19 +344,46 @@ def union_geometry(mps: list[MultiPolygon]) -> MultiPolygon:
                 i = best
         if not chain or len(chain) < 3:
             continue
-        # drop collinear / duplicate vertices (slab-split artifacts)
-        pts = []
+        # drop collinear / duplicate vertices (slab-split artifacts).
+        # Each removal decision must use the CURRENT neighbors, not the
+        # original ones: judging every vertex against its original
+        # neighbors can remove a consecutive run (each member trivially
+        # collinear in the unsimplified ring) and cut the corner the
+        # run formed — a degenerate micro-slab zigzag lost ~7e-4 area
+        # that way, tripping the self-check below (the 0.06% dissolve
+        # fallback rate). Doubly-linked ring + requeue-on-removal
+        # reaches the fixpoint; every single removal changes area by
+        # ≤ |cross|/2 ≤ tol·scale/2, so total drift stays far inside
+        # the self-check tolerance.
         n = len(chain)
-        for j in range(n):
-            a, b, c = chain[(j - 1) % n], chain[j], chain[(j + 1) % n]
+        nxt = [(j + 1) % n for j in range(n)]
+        prv = [(j - 1) % n for j in range(n)]
+        alive = [True] * n
+        n_alive = n
+
+        def _redundant(j: int) -> bool:
+            a, b, c = chain[prv[j]], chain[j], chain[nxt[j]]
             if abs(b[0] - a[0]) <= tol and abs(b[1] - a[1]) <= tol:
-                continue
+                return True
             cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
             if abs(cross) <= tol * scale:
                 dot = (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1])
                 if dot > 0:
-                    continue
-            pts.append(b)
+                    return True
+            return False
+
+        queue = list(range(n))
+        while queue and n_alive >= 3:
+            j = queue.pop()
+            if not alive[j] or not _redundant(j):
+                continue
+            alive[j] = False
+            n_alive -= 1
+            a, c = prv[j], nxt[j]
+            nxt[a], prv[c] = c, a
+            queue.append(a)
+            queue.append(c)
+        pts = [chain[j] for j in range(n) if alive[j]]
         if len(pts) < 3:
             continue
         ring = np.asarray(pts + [pts[0]], dtype=np.float64)

@@ -283,3 +283,77 @@ class TestUnionGeometry:
         assert kernels.multipolygon_area(merged) == pytest.approx(14.0)
         verts = {(round(x, 6), round(y, 6)) for x, y in merged[0][0][:-1]}
         assert verts == {(0.0, 0.0), (6.0, 0.0), (4.0, 4.0), (3.0, 2.0), (2.0, 4.0)}
+
+
+class TestUnionGeometryRegressions:
+    """Seeds from jobs/fallback_sweep.py that tripped the area
+    self-check before round 4 — each pins one chaining defect."""
+
+    def _check(self, polys):
+        mps = [[[np.asarray(r, dtype=np.float64) for r in poly]
+                for poly in mp] for mp in polys]
+        want = boolean.union_area(mps)
+        g = boolean.union_geometry(mps)  # must not raise
+        assert kernels.multipolygon_area(g) == pytest.approx(want, rel=1e-6)
+
+    def test_microslab_zigzag_corner_cut(self):
+        """Simplification judged vertices against ORIGINAL neighbors,
+        so a degenerate micro-slab zigzag (consecutive near-collinear
+        run) was removed wholesale, cutting ~7e-4 of area (sweep seed
+        4211213509689363094)."""
+        self._check([
+            [[[[5.945044308521175, 20.658550648443615],
+               [8.387236454900426, 22.63757201561267],
+               [5.1434433866907385, 26.640543427181285],
+               [2.7012512403114863, 24.66152206001223],
+               [5.945044308521175, 20.658550648443615]]]],
+            [[[[5.143738108572938, 21.376954728988053],
+               [12.565428745203794, 21.376954728988053],
+               [12.565428745203794, 27.67271341337168],
+               [5.143738108572938, 27.67271341337168],
+               [5.143738108572938, 21.376954728988053]]]],
+        ])
+
+    def test_quantization_boundary_node_split(self):
+        """Two fragment endpoints within tol rounded into ADJACENT
+        quantization buckets, splitting one graph node in two — the
+        chain dead-ended and a whole face was dropped (sweep seed
+        2068004715032406462)."""
+        self._check([
+            [[[[28.24714521816144, 6.692885517057824],
+               [31.036374183999957, 3.524256130290243],
+               [32.04975723672073, 4.136404023190759],
+               [28.24714521816144, 6.692885517057824]]]],
+            [[[[21.14932282387853, 6.555912331376181],
+               [30.973167993419903, 6.556998610440715],
+               [30.97305316195529, 7.595485465088068],
+               [21.149207992413917, 7.594399186023534],
+               [21.14932282387853, 6.555912331376181]]]],
+            [[[[12.402390699972477, 0.5983401614583816],
+               [15.414908000148964, 0.5983401614583816],
+               [15.414908000148964, 2.1113570703316373],
+               [12.402390699972477, 2.1113570703316373],
+               [12.402390699972477, 0.5983401614583816]]]],
+            [[[[27.02049405245912, 11.131396083013453],
+               [28.783899164094112, 13.957680574726353],
+               [24.853806583636526, 16.811142370496995],
+               [27.02049405245912, 11.131396083013453]]]],
+            [[[[22.600963393921525, 24.751513951110617],
+               [25.392683675488904, 25.727029194525457],
+               [22.199926384705087, 34.86403176108903],
+               [19.408206103137708, 33.88851651767419],
+               [22.600963393921525, 24.751513951110617]]]],
+            [[[[15.833398134481248, 1.1987105987921418],
+               [19.006850339824247, 1.8745207959327908],
+               [18.364088348734036, 2.002835786274465],
+               [15.833398134481248, 1.1987105987921418]]]],
+            [[[[21.147955137146226, 17.043073539280286],
+               [22.85799764788395, 14.99057577901047],
+               [23.503735708214503, 21.98105126609962],
+               [21.147955137146226, 17.043073539280286]]]],
+            [[[[34.13784548145668, 8.542228310649573],
+               [25.80274335398958, 9.121508614788514],
+               [25.697565580734658, 7.608135079807943],
+               [34.03266770820176, 7.028854775669002],
+               [34.13784548145668, 8.542228310649573]]]],
+        ])
