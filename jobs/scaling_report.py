@@ -50,15 +50,16 @@ def load(since: int | None = None, n_docs: int | None = None,
 
 def table(rows: list[dict]) -> list[str]:
     out = [
-        ("| window (unix) | pair | docs | runs N (s) | runs 4N (s) | "
+        ("| window (unix) | pair | docs | pin | runs N (s) | runs 4N (s) | "
          "eff best | eff med | cpu ceil | membw ceil | eff/cpu-ceil |"),
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         ratio = round(r["eff_best"] / r["cpu_ceiling"], 2)
         out.append(
             f"| {r['started_unix']} | {r['n_lo']}→{r['n_hi']} | "
-            f"{r['n_docs'] // 1000}k | {r['runs_N']} | {r['runs_4N']} | "
+            f"{r['n_docs'] // 1000}k | {'y' if r.get('pinned') else 'n'} | "
+            f"{r['runs_N']} | {r['runs_4N']} | "
             f"**{r['eff_best']}** | {r['eff_median']} | {r['cpu_ceiling']} | "
             f"{r['membw_ceiling']} | {ratio} |")
     return out
@@ -123,6 +124,17 @@ sample the same minutes of VM weather, across MULTIPLE time windows
 hardware controls). Record config: n={kdocs}k docs → {kspans}M spans,
 worker join-plan rule pinned to the shuffle-hash regime (the path a
 100 TB dim lands in; SCALING_FORCE_REGIONS, same as jobs/pair_probe.py).
+
+CPU-pinned proxy (rows with pin=y): each level's whole process tree
+runs under `taskset -c 0..cores-1` with -XX:ActiveProcessorCount and
+heap scaled 4g/core (+2g driver constant) — an unpinned local[N] JVM
+still runs GC/JIT/netty/kernel-writeback on all 32 physical cores,
+which gifts the LOW side free parallelism no real N-core executor
+has (understating efficiency), and a fixed heap starves the HI side
+4× on allocation headroom (a 4N-executor cluster has 4× the
+aggregate heap). Pinning makes "N cores" mean N cores of
+everything, both levels G1 so ergonomics don't switch collectors
+between levels.
 
 Pair choice ({best['n_lo']}→{best['n_hi']} cores): the north_rule's N→4N adds
 MACHINES on a real cluster — independent caches, memory buses,
