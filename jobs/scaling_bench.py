@@ -79,6 +79,7 @@ if pin:
     # frequency for a reason no real cluster sees. +2g is the
     # driver's own bookkeeping, which exists once at any size.
     conf["spark.driver.memory"] = f"{2 + 4 * cores}g"
+conf.update(json.loads(os.environ.get("SCALING_EXTRA_CONF", "{}")))
 if shm:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     conf["spark.local.dir"] = "/dev/shm/spark-local"
@@ -152,8 +153,11 @@ def run_block(cores: int, inp: str, n_docs: int, n_runs: int,
     cmd = [sys.executable, "-c", WORKER, str(cores), inp, str(n_docs),
            str(n_runs), str(n_regions), ("shm" if shm else "disk")]
     if pin:
-        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
-               *cmd, "pin"]
+        # SCALING_TASKSET overrides the pinned core list (one-off
+        # experiments on cores a running campaign is not using)
+        cpus = os.environ.get("SCALING_TASKSET",
+                              f"0-{cores - 1}" if cores > 1 else "0")
+        cmd = ["taskset", "-c", cpus, *cmd, "pin"]
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, cwd=_repo_root(), timeout=9000,
