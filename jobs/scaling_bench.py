@@ -168,6 +168,36 @@ def run_block(cores: int, inp: str, n_docs: int, n_runs: int,
     return json.loads(lines[-1])
 
 
+def _jvmalloc(threads: int, seconds: float = 12.0) -> float:
+    """Control #4: JVM allocation-churn scaling (JvmAllocControl.java).
+
+    The three Python controls (ALU burn, streaming membw, random
+    gather) all read ~0.9-1.0 in calm windows while the engine's
+    per-stage profiles show +16-48% aggregate task CPU-time inflation
+    at the hi level — so none of them bounds the engine's dominant
+    access pattern: high-rate small-object allocation + minor-GC
+    traffic from interpreted Catalyst expression eval inside one JVM.
+    This control measures exactly that pattern under the same pinned
+    proxy the engine workers use (taskset 0..N-1, ActiveProcessorCount,
+    G1, heap 2+4N g). Returns ops/sec; the window ratio is the
+    ceiling the VM imposes on ANY JVM-churn workload at N threads.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = []
+    if os.environ.get("SCALING_PIN", "") == "1":
+        cmd += ["taskset", "-c", f"0-{threads - 1}" if threads > 1 else "0"]
+    cmd += [
+        "java", f"-XX:ActiveProcessorCount={threads}", "-XX:+UseG1GC",
+        f"-Xmx{2 + 4 * threads}g",
+        os.path.join(here, "JvmAllocControl.java"),
+        str(threads), str(seconds),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         timeout=600)
+    return float(json.loads(out.stdout.strip().splitlines()[-1])
+                 ["ops_per_sec"])
+
+
 def _burn(seconds: float) -> int:
     import time as _t
     t0 = _t.time()
@@ -222,6 +252,11 @@ def controls(n_lo: int, n_hi: int) -> dict:
             with mp.Pool(procs) as p:
                 thr[procs] = float(sum(p.map(fn, [2.0] * procs)))
         out[name] = round((thr[n_hi] / thr[n_lo]) / (n_hi / n_lo), 3)
+    try:
+        ja = {procs: _jvmalloc(procs) for procs in (n_lo, n_hi)}
+        out["jvmalloc"] = round((ja[n_hi] / ja[n_lo]) / (n_hi / n_lo), 3)
+    except Exception:
+        out["jvmalloc"] = None
     return out
 
 

@@ -84,6 +84,7 @@ def run_window(idx: int, inp: str, n_docs: int, n_lo: int, n_hi: int,
         "cpu_ceiling": ctl["cpu"],
         "membw_ceiling": ctl["membw"],
         "randacc_ceiling": ctl.get("randacc"),
+        "jvmalloc_ceiling": ctl.get("jvmalloc"),
     }
 
 
