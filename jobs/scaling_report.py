@@ -122,6 +122,20 @@ def write_baseline(headline_rows: list[dict], new_since: int) -> None:
     new = [r for r in headline_rows if r["started_unix"] >= new_since]
     calm = [r for r in new if r["cpu_ceiling"] >= 0.9] or new
     best = max(calm, key=lambda r: r["eff_best"])
+    # the calm criterion is the pure-CPU control (the judge's stated
+    # read), but if the window's memory-side controls dissent, say so
+    # in the headline rather than letting the table be the only hint
+    side = [c for c in (best.get("membw_ceiling"),
+                        best.get("randacc_ceiling"),
+                        best.get("jvmalloc_ceiling")) if c]
+    caveat = ""
+    if side and min(side) < 0.85:
+        caveat = (f"\n⚠ Disclosure: this window's memory-side controls "
+                  f"read {side} — the DRAM bus was contended during the "
+                  f"window even though the CPU control was calm, which "
+                  f"inflates the (serial) N legs and can flatter the "
+                  f"ratio. The full table below is the evidence; windows "
+                  f"with ALL controls ≥0.9 are the conservative read.\n")
     thr_n = round(best["spans"] / min(best["runs_N"]), 1)
     thr_4n = round(best["spans"] / min(best["runs_4N"]), 1)
     every = load()  # the unfiltered record
@@ -187,6 +201,7 @@ Headline (best calm window, CPU control ≥ 0.9, current code):
 {best['eff_best']} (best-run); {best['eff_median']} (median)** — same-window
 pure-CPU ceiling {best['cpu_ceiling']}, membw ceiling {best['membw_ceiling']}
 (target ≥ 0.8 per north_rule).
+{caveat}
 
 Full campaign table (EVERY window on file, all pairs and sizes,
 oldest first; rows before unix {new_since} ran earlier-round code):
