@@ -2,17 +2,23 @@
 
 Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched functions over ``mapInPandas``. The actual codec
-libraries (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is stubbed: ``decode_stub='error'`` raises
-NotImplementedError (the honest production posture until codecs
-ship), ``decode_stub='fake'`` produces a deterministic fake decode
-derived from the payload bytes — making the Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) fully real and
-testable.
+as Arrow-batched functions over ``mapInPandas``.
+
+Decode is REAL for PNG images and WAV audio via the from-scratch
+spec implementations in ``georip_spark.codecs`` (stdlib zlib +
+numpy — no native codec libraries needed). Formats that genuinely
+require an entropy-coded codec the sandbox lacks (JPEG, MP4/H.264)
+keep the disclosed stub: ``decode_stub='error'`` raises
+NotImplementedError for unrecognized payloads (the honest production
+posture), ``decode_stub='fake'`` produces a deterministic fake decode
+derived from the payload bytes so plumbing stays testable either way.
 
 Scale notes: payloads never pass through the driver; mapInPandas
-streams Arrow batches, and ``media_meta`` extraction is column math.
+streams Arrow batches. Header metadata (dims, sample rate, …) for
+recognized formats is extracted by PURE COLUMN MATH over the binary
+column (``media_meta_cols``) — at 100 TB the common "filter media by
+dims/rate" predicate runs scan-stage in the JVM with zero Python and
+zero full-payload decode.
 """
 
 from __future__ import annotations
@@ -22,9 +28,11 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from georip_spark import codecs
 
 MEDIA_META = T.StructType(
     [
@@ -75,14 +83,165 @@ def synth_media(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     return df.select(F.col(ref_col).alias("media_ref"), payload.alias("payload"), meta.alias("meta"))
 
 
+def synth_media_real(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Like :func:`synth_media` but payloads are REAL encoded media:
+    image rows carry a deterministic PNG, audio rows a deterministic
+    16-bit PCM WAV (both produced by ``georip_spark.codecs``); video
+    rows keep opaque fake bytes (no from-scratch MP4 — disclosed).
+    Runs in mapInPandas so encode happens executor-side."""
+    base = synth_media(df, ref_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref, payload, meta in zip(
+                pdf["media_ref"].values, pdf["payload"].values, pdf["meta"].values
+            ):
+                seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                if meta["media_type"] == "image":
+                    img = rng.integers(
+                        0, 256, (meta["height"], meta["width"], 3), dtype=np.uint8
+                    )
+                    payloads.append(codecs.png_encode(img))
+                elif meta["media_type"] == "audio":
+                    n = meta["sample_rate"] // 100  # 10 ms clip
+                    samples = rng.integers(-32768, 32767, (n, 1), dtype=np.int16)
+                    payloads.append(codecs.wav_encode(samples, meta["sample_rate"]))
+                else:
+                    payloads.append(bytes(payload))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return base.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _be_u32(payload: Column, pos: int) -> Column:
+    """Big-endian u32 at 1-based byte offset, JVM-side."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("long")
+
+
+def _le_u(payload: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int at 1-based byte offset, JVM-side:
+    hex the bytes in reverse order, then conv base 16 → 10."""
+    parts = [F.hex(F.substring(payload, pos + i, 1)) for i in range(nbytes - 1, -1, -1)]
+    return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+
+def media_meta_cols(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Header metadata as PURE COLUMN MATH over the binary payload —
+    no Python workers, no full decode, runs scan-stage at any scale.
+
+    PNG: signature + IHDR fields (spec fixes IHDR as the first chunk,
+    so width/height/bit_depth/color_type sit at fixed offsets).
+    WAV: RIFF/WAVE magic + the canonical layout with ``fmt `` as the
+    first chunk (what every encoder here and virtually all writers
+    emit); non-canonical chunk orders fall back to
+    ``extract_features``'s python parse. Adds ``sniffed_type``,
+    ``media_w``, ``media_h``, ``media_bit_depth``, ``media_channels``,
+    ``media_sample_rate``."""
+    p = F.col(payload_col)
+    is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 4)) == "57415645"
+    )
+    png_color = _le_u(p, 26, 1)
+    png_channels = (
+        F.when(png_color == 0, 1)
+        .when(png_color == 2, 3)
+        .when(png_color == 3, 3)
+        .when(png_color == 4, 2)
+        .when(png_color == 6, 4)
+    )
+    return df.select(
+        "*",
+        F.when(is_png, "png").when(is_wav, "wav").alias("sniffed_type"),
+        F.when(is_png, _be_u32(p, 17)).cast("int").alias("media_w"),
+        F.when(is_png, _be_u32(p, 21)).cast("int").alias("media_h"),
+        F.when(is_png, _le_u(p, 25, 1))
+        .when(is_wav, _le_u(p, 35, 2))
+        .cast("int")
+        .alias("media_bit_depth"),
+        F.when(is_png, png_channels)
+        .when(is_wav, _le_u(p, 23, 2))
+        .cast("int")
+        .alias("media_channels"),
+        F.when(is_wav, _le_u(p, 25, 4)).cast("int").alias("media_sample_rate"),
+    )
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_image(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """REAL pixel resample for PNG payloads: decode, nearest-neighbor
+    resample to ≤ max_side preserving aspect (deterministic integer
+    index map — no interpolation ties), re-encode PNG. Non-PNG rows
+    pass through unchanged with their original dims."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"].values, pdf["payload"].values):
+                payload = bytes(payload)
+                if codecs.sniff(payload) != "png":
+                    rows.append((ref, payload, None, None))
+                    continue
+                img = codecs.png_decode(payload)
+                h, w = img.shape[:2]
+                scale = min(max_side / w, max_side / h, 1.0)
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                rows.append((ref, codecs.png_encode(img[ys][:, xs]), tw, th))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "payload", "target_w", "target_h"]
+            )
+
+    return media.mapInPandas(run, _RESIZED_SCHEMA)
+
+
 def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
     """Deterministic fake 'decode': bytes → pseudo-pixel array of the
-    metadata's shape. Stands in for PIL/ffmpeg until codecs ship."""
+    metadata's shape. Stands in for formats without a real codec."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     w = int(meta["width"] or 8)
     hgt = int(meta["height"] or 8)
     return rng.random((hgt, w), dtype=np.float32)
+
+
+def decode_media(payload: bytes) -> np.ndarray | None:
+    """REAL decode for recognized payloads, normalized to float32:
+
+    * PNG → pixel array scaled to [0, 1] by the bit depth's max
+    * WAV → (n_frames, n_channels) samples scaled to [-1, 1]
+
+    Returns None for unrecognized formats (JPEG/MP4 … — no
+    entropy-coded codec in this environment); callers pick the stub
+    posture. Pure python+numpy, safe inside Arrow workers."""
+    kind = codecs.sniff(payload)
+    if kind == "png":
+        arr = codecs.png_decode(payload)
+        return arr.astype(np.float32) / float(np.iinfo(arr.dtype).max)
+    if kind == "wav":
+        samples, _rate = codecs.wav_decode(payload)
+        if samples.dtype == np.uint8:
+            return (samples.astype(np.float32) - 128.0) / 128.0
+        if np.issubdtype(samples.dtype, np.integer):
+            return samples.astype(np.float32) / float(
+                np.iinfo(samples.dtype).max + 1
+            )
+        return samples.astype(np.float32)
+    return None
 
 
 def extract_features(
@@ -92,11 +251,13 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract over mapInPandas.
 
-    decode_stub='error' raises NotImplementedError at the decode step
-    (codec libraries absent — the marked stub); 'fake' uses the
-    deterministic fake decode so the full pipeline shape is exercised.
-    Features: per-band means of the decoded array (placeholder for a
-    real embedding model)."""
+    Recognized payloads (PNG/WAV) decode for real via
+    ``georip_spark.codecs``. For unrecognized formats,
+    decode_stub='error' raises NotImplementedError (the marked stub
+    for codecs this environment can't implement from scratch);
+    'fake' uses the deterministic fake decode so the full pipeline
+    shape is exercised. Features: per-band means of the decoded
+    array (placeholder for a real embedding model)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,14 +269,17 @@ def extract_features(
                 pdf["media_ref"].values, pdf["payload"].values, pdf["meta"].values
             ):
                 payload = bytes(payload)
-                if decode_stub == "error":
-                    raise NotImplementedError(
-                        "media decode requires codec libraries (PIL/ffmpeg) "
-                        "not present in this environment"
-                    )
-                arr = _fake_decode(payload, meta)
+                arr = decode_media(payload)
+                if arr is None:
+                    if decode_stub == "error":
+                        raise NotImplementedError(
+                            "payload is not PNG/WAV; decoding other formats "
+                            "requires codec libraries (PIL/ffmpeg) not "
+                            "present in this environment"
+                        )
+                    arr = _fake_decode(payload, meta)
                 bands = np.array_split(arr.ravel(), n_features)
-                feats = [float(b.mean()) for b in bands]
+                feats = [float(b.mean()) if len(b) else 0.0 for b in bands]
                 rows.append(
                     (
                         ref,

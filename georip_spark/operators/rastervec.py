@@ -118,6 +118,39 @@ def synth_payload(key: Column, width: Column, height: Column, nodata: Column) ->
     return F.transform(F.sequence(F.lit(0), n - 1), val)
 
 
+@pandas_udf(T.BinaryType())
+def _encode_png_gray(payload: pd.Series, width: pd.Series) -> pd.Series:
+    from georip_spark import codecs
+
+    out = []
+    for arr, w in zip(payload, width):
+        a = np.asarray(
+            [np.nan if v is None else v for v in arr], dtype=np.float64
+        )
+        a = np.nan_to_num(a, nan=0.0)  # nodata (null) renders black
+        px = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+        out.append(codecs.png_encode(px.reshape(-1, int(w))))
+    return pd.Series(out)
+
+
+def chips_to_png(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width_col: str = "width",
+    out_col: str = "png",
+) -> DataFrame:
+    """Encode normalized [0,1] chip payloads as REAL grayscale PNG
+    bytes — the reference's raster→png emission
+    (georip/raster/conversion.py:12-36: ``img_as_float(data)*255 →
+    uint8 → imsave``), here via the from-scratch spec codec
+    (georip_spark.codecs) in an Arrow-batched pandas UDF, so chips
+    land as a binary column ready for any media sink. Null pixels
+    (nodata) render 0, matching the reference's nan→0 cast."""
+    return df.withColumn(
+        out_col, _encode_png_gray(F.col(payload_col), F.col(width_col))
+    )
+
+
 # ------------------------------------------------- rasterize (numpy)
 
 

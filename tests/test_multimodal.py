@@ -1,7 +1,11 @@
-"""Multimodal plumbing tests: schema, batch shape, stub behavior."""
+"""Multimodal plumbing tests: schema, batch shape, stub behavior,
+and the REAL PNG/WAV decode paths (georip_spark.codecs)."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+from georip_spark import codecs
 
 
 @pytest.fixture(scope="module")
@@ -10,6 +14,14 @@ def media(spark):
 
     refs = spark.range(20).select(F.concat(F.lit("m"), F.col("id")).alias("media_ref"))
     return synth_media(refs).cache()
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    from georip_spark.operators.multimodal import synth_media_real
+
+    refs = spark.range(24).select(F.concat(F.lit("r"), F.col("id")).alias("media_ref"))
+    return synth_media_real(refs).cache()
 
 
 def test_media_schema(media):
@@ -57,3 +69,105 @@ def test_sample_frames(media):
     out = sample_frames(media, every=4)
     assert out.count() >= n_vids  # ≥1 frame per video
     assert out.filter(F.col("frame_idx") % 4 != 0).count() == 0
+
+
+def test_real_payloads_are_valid_media(real_media):
+    rows = real_media.collect()
+    kinds = set()
+    for r in rows:
+        payload = bytes(r["payload"])
+        mt = r["meta"]["media_type"]
+        if mt == "image":
+            assert codecs.sniff(payload) == "png"
+            img = codecs.png_decode(payload)
+            assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        elif mt == "audio":
+            assert codecs.sniff(payload) == "wav"
+            samples, rate = codecs.wav_decode(payload)
+            assert rate == r["meta"]["sample_rate"]
+            assert samples.shape == (rate // 100, 1)
+        else:
+            assert codecs.sniff(payload) is None
+        kinds.add(mt)
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_features_real_decode(real_media):
+    """Image/audio rows feature-extract from the REAL decoded pixels/
+    samples — verified by recomputing locally from the payload."""
+    from georip_spark.operators.multimodal import decode_media, extract_features
+
+    out = {r["media_ref"]: r for r in extract_features(real_media, n_features=4).collect()}
+    checked = 0
+    for r in real_media.collect():
+        mt = r["meta"]["media_type"]
+        if mt == "video":
+            continue
+        arr = decode_media(bytes(r["payload"]))
+        assert arr is not None
+        expect = [float(b.mean()) for b in np.array_split(arr.ravel(), 4)]
+        got = out[r["media_ref"]]["features"]
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+        checked += 1
+    assert checked > 0
+
+
+def test_error_stub_passes_recognized_formats(real_media):
+    """decode_stub='error' only raises for UNRECOGNIZED payloads, so a
+    PNG/WAV-only corpus decodes fine under the strict posture."""
+    from georip_spark.operators.multimodal import extract_features
+
+    png_wav = real_media.filter(F.col("meta.media_type") != "video")
+    assert extract_features(png_wav, decode_stub="error").count() == png_wav.count()
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(real_media, decode_stub="error").collect()
+
+
+def test_media_meta_cols_jvm_parse(real_media):
+    """The pure-column-math header parse agrees with the python codecs
+    on every recognized payload — no python workers in its plan."""
+    from georip_spark.operators.multimodal import media_meta_cols
+
+    out = media_meta_cols(real_media)
+    for r in out.collect():
+        payload = bytes(r["payload"])
+        kind = codecs.sniff(payload)
+        assert r["sniffed_type"] == kind
+        if kind == "png":
+            m = codecs.png_meta(payload)
+            assert (r["media_w"], r["media_h"]) == (m["width"], m["height"])
+            assert r["media_bit_depth"] == m["bit_depth"]
+            assert r["media_channels"] == m["channels"]
+        elif kind == "wav":
+            m = codecs.wav_meta(payload)
+            assert r["media_sample_rate"] == m["sample_rate"]
+            assert r["media_channels"] == m["n_channels"]
+            assert r["media_bit_depth"] == m["bits"]
+
+
+def test_media_meta_cols_plan_is_jvm_only(real_media):
+    from georip_spark.operators.multimodal import media_meta_cols
+
+    # the metadata projection itself must add no python eval node
+    base = real_media.select("media_ref", "payload")
+    plan = media_meta_cols(base)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_resize_image_real(real_media):
+    from georip_spark.operators.multimodal import resize_image
+
+    out = {r["media_ref"]: r for r in resize_image(real_media, max_side=32).collect()}
+    for r in real_media.collect():
+        res = out[r["media_ref"]]
+        if r["meta"]["media_type"] != "image":
+            assert bytes(res["payload"]) == bytes(r["payload"])  # passthrough
+            continue
+        img = codecs.png_decode(bytes(res["payload"]))
+        assert res["target_h"] == img.shape[0] and res["target_w"] == img.shape[1]
+        assert max(img.shape[:2]) <= 32
+        # nearest-neighbor: every resampled pixel exists in the source
+        src = codecs.png_decode(bytes(r["payload"]))
+        ys = (np.arange(res["target_h"]) * src.shape[0]) // res["target_h"]
+        xs = (np.arange(res["target_w"]) * src.shape[1]) // res["target_w"]
+        np.testing.assert_array_equal(img, src[ys][:, xs])

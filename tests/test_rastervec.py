@@ -93,3 +93,33 @@ class TestLabeling:
         )
         _, n = rastervec._label_components(mask)
         assert n == 1
+
+
+class TestChipsToPng:
+    def test_png_roundtrip_matches_reference_cast(self, spark):
+        """chips_to_png emits valid PNGs whose pixels equal the
+        reference's (normalized*255).astype(uint8) cast, nodata→0."""
+        import numpy as np
+
+        from georip_spark import codecs
+        from georip_spark.operators.rastervec import chips_to_png
+
+        payloads = [
+            ([0.0, 0.5, 1.0, 0.25, None, 0.75], 3),
+            ([1.0, None, 0.0, 0.1], 2),
+        ]
+        df = spark.createDataFrame(
+            [(p, w) for p, w in payloads], "payload array<float>, width int"
+        )
+        for r in chips_to_png(df).collect():
+            png = bytes(r["png"])
+            assert codecs.sniff(png) == "png"
+            img = codecs.png_decode(png)
+            a = np.array(
+                [0.0 if v is None else v for v in r["payload"]], dtype=np.float64
+            )
+            expect = np.clip(a * 255.0, 0, 255).astype(np.uint8).reshape(
+                -1, r["width"]
+            )
+            np.testing.assert_array_equal(img, expect)
+            assert img.shape[1] == r["width"]
