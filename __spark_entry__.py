@@ -1504,6 +1504,134 @@ FROM flat ORDER BY doc_id, pos
 """
 
 
+def q36_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the from-scratch media codecs (round-4
+    session 8; `georip_spark/codecs.py`). Per doc i: even i → a
+    grayscale PNG whose pixel (y,x) = (seed + y·w + x) mod 256,
+    scanline filter = i mod 5 so ALL five spec filter arms
+    (None/Sub/Up/Average/Paeth) are driven, not just the encoder's
+    default; odd i → a mono 16-bit PCM WAV with sample(j) =
+    (j·17 + seed·131) mod 65536 − 32768. Executor-side (mapInPandas):
+    encode → decode → exact integer sample sum. The encoded payload
+    then flows through `media_meta_cols`' pure-JVM header parse
+    (sniff magic, IHDR / fmt-chunk fields). DuckDB recomputes the
+    sums closed-form from the same formulas — agreement pins
+    encoder↔decoder inversion across every filter path AND
+    spec-correct header layout (the JVM parse reads redundant bytes
+    the python decode also checks: magic, dims, depth, channels,
+    rate). Reference parity: the reference emits PNG chips via
+    skimage (georip/raster/conversion.py:12-36); this is the
+    zero-native-deps equivalent, driver-checked."""
+    import numpy as _np
+    import pandas as _pd
+
+    from georip_spark import codecs
+    from georip_spark.operators.multimodal import media_meta_cols
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    p = (
+        d.select("doc_id")
+        .withColumn("i", F.row_number().over(w) - 1)
+        .filter(F.col("i") < 240)
+        .select(
+            "doc_id",
+            F.when(F.col("i") % 2 == 0, "png").otherwise("wav").alias("kind"),
+            (F.lit(8) + (F.col("i") * 7) % 25).cast("int").alias("mw"),
+            (F.lit(8) + (F.col("i") * 11) % 21).cast("int").alias("mh"),
+            (F.lit(64) + (F.col("i") * 13) % 97).cast("int").alias("ns"),
+            ((F.col("i") * 31) % 256).cast("int").alias("seed"),
+            (F.col("i") % 5).cast("int").alias("ftype"),
+        )
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads, sums = [], []
+            for kind, mw, mh, ns, seed, ftype in zip(
+                pdf["kind"].values, pdf["mw"].values, pdf["mh"].values,
+                pdf["ns"].values, pdf["seed"].values, pdf["ftype"].values,
+            ):
+                if kind == "png":
+                    idx = _np.arange(int(mw) * int(mh), dtype=_np.int64)
+                    img = ((int(seed) + idx) % 256).astype(_np.uint8)
+                    img = img.reshape(int(mh), int(mw))
+                    payload = codecs.png_encode(img, filter_type=int(ftype))
+                    out = codecs.png_decode(payload)
+                    sums.append(int(out.astype(_np.int64).sum()))
+                else:
+                    j = _np.arange(int(ns), dtype=_np.int64)
+                    samples = ((j * 17 + int(seed) * 131) % 65536 - 32768).astype(
+                        _np.int16
+                    )
+                    payload = codecs.wav_encode(samples, 16000)
+                    out, _rate = codecs.wav_decode(payload)
+                    sums.append(int(out.astype(_np.int64).sum()))
+                payloads.append(payload)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": payloads,
+                    "out_sum": sums,
+                }
+            )
+
+    decoded = p.mapInPandas(
+        run, "doc_id long, kind string, payload binary, out_sum long"
+    )
+    return (
+        media_meta_cols(decoded)
+        .select(
+            "doc_id", "kind", "sniffed_type", "media_w", "media_h",
+            "media_bit_depth", "media_channels", "media_sample_rate",
+            "out_sum",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q36_SQL = """
+WITH base AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+    FROM documents ORDER BY doc_id LIMIT 240
+),
+p AS (
+    SELECT doc_id,
+        CASE WHEN i % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+        8 + (i*7) % 25 AS mw, 8 + (i*11) % 21 AS mh,
+        64 + (i*13) % 97 AS ns, (i*31) % 256 AS seed
+    FROM base
+),
+px AS (
+    SELECT doc_id, seed, unnest(generate_series(0, mw*mh - 1)) AS idx
+    FROM p WHERE kind = 'png'
+),
+psum AS (
+    SELECT doc_id, SUM((seed + idx) % 256) AS s FROM px GROUP BY doc_id
+),
+sx AS (
+    SELECT doc_id, seed, unnest(generate_series(0, ns - 1)) AS idx
+    FROM p WHERE kind = 'wav'
+),
+ssum AS (
+    SELECT doc_id, SUM((idx*17 + seed*131) % 65536 - 32768) AS s
+    FROM sx GROUP BY doc_id
+)
+SELECT p.doc_id, p.kind, p.kind AS sniffed_type,
+    CAST(CASE WHEN p.kind = 'png' THEN mw END AS INT) AS media_w,
+    CAST(CASE WHEN p.kind = 'png' THEN mh END AS INT) AS media_h,
+    CAST(CASE WHEN p.kind = 'png' THEN 8 ELSE 16 END AS INT) AS media_bit_depth,
+    CAST(1 AS INT) AS media_channels,
+    CAST(CASE WHEN p.kind = 'wav' THEN 16000 END AS INT) AS media_sample_rate,
+    CAST(COALESCE(psum.s, ssum.s) AS BIGINT) AS out_sum
+FROM p
+LEFT JOIN psum ON p.doc_id = psum.doc_id
+LEFT JOIN ssum ON p.doc_id = ssum.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1541,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_lineage_resume": q33_lineage_resume,
         "q34_ann_topk_lsh": q34_ann_topk_lsh,
         "q35_holed_clip": q35_holed_clip,
+        "q36_media_roundtrip": q36_media_roundtrip,
     }
 
 
@@ -1581,4 +1710,5 @@ def oracle_sql() -> dict[str, str]:
         "q33_lineage_resume": _Q31_SQL,
         "q34_ann_topk_lsh": _Q34_SQL,
         "q35_holed_clip": _Q35_SQL,
+        "q36_media_roundtrip": _Q36_SQL,
     }

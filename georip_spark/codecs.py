@@ -57,13 +57,18 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def png_encode(arr: np.ndarray, compress_level: int = 6) -> bytes:
+def png_encode(
+    arr: np.ndarray, compress_level: int = 6, filter_type: int = 0
+) -> bytes:
     """Encode an image array as a PNG byte string.
 
     ``arr``: uint8 or uint16, shape (H, W) or (H, W, C) with C in
     1..4 — C maps to color type gray / gray+alpha / RGB / RGBA.
-    Scanlines use filter type None (deterministic output; DEFLATE
-    still folds flat regions well for chip-sized images).
+    ``filter_type`` selects the spec scanline filter (0=None 1=Sub
+    2=Up 3=Average 4=Paeth), applied to every scanline. The default
+    stays None (deterministic, and DEFLATE folds flat chip regions
+    well); the other four exist so the decoder's unfilter arms — which
+    external PNGs exercise — can be driven end-to-end (q36).
     """
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -78,10 +83,37 @@ def png_encode(arr: np.ndarray, compress_level: int = 6) -> bytes:
     h, w, ch = arr.shape
     color_type = _PNG_COLOR_BY_CHANNELS[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
-    # one filter byte (0 = None) per scanline, then raw big-endian samples
+    # one filter byte per scanline, then filtered big-endian samples
     lines = be.reshape(h, -1).view(np.uint8) if bit_depth == 16 else be.reshape(h, -1)
+    lines = np.ascontiguousarray(lines)
+    if filter_type == 0:
+        body = lines
+    elif filter_type in (1, 2, 3, 4):
+        # forward filter per spec §9: filt[x] = (orig[x] - predictor)
+        # mod 256, predictor from RECONSTRUCTED (= original) bytes
+        bpp = max(1, (ch * bit_depth) // 8)
+        cur = lines.astype(np.int64)
+        a = np.zeros_like(cur)
+        a[:, bpp:] = cur[:, :-bpp]  # left neighbor, same row
+        b = np.zeros_like(cur)
+        b[1:] = cur[:-1]  # same byte, prior row
+        if filter_type == 1:
+            pred = a
+        elif filter_type == 2:
+            pred = b
+        elif filter_type == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth, same tie-breaking order as _paeth
+            c = np.zeros_like(cur)
+            c[1:, bpp:] = cur[:-1, :-bpp]
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        body = ((cur - pred) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"PNG: bad filter type {filter_type}")
     raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), np.ascontiguousarray(lines)], axis=1
+        [np.full((h, 1), filter_type, np.uint8), body], axis=1
     ).tobytes()
     return (
         _PNG_SIG

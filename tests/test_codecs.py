@@ -102,6 +102,39 @@ class TestPngFilters:
         assert out.dtype == np.uint16
         np.testing.assert_array_equal(out, img)
 
+    @pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+    @pytest.mark.parametrize(
+        "shape,dtype", [((5, 4, 3), np.uint8), ((6, 3), np.uint16),
+                        ((4, 5, 4), np.uint8), ((3, 2, 2), np.uint16)]
+    )
+    def test_encoder_filters_match_spec_reference(self, ftype, shape, dtype):
+        """png_encode(filter_type=k)'s filtered IDAT bytes must equal
+        the independent per-pixel spec reference's forward filter —
+        not merely roundtrip (complementary encoder/decoder bugs
+        would survive a roundtrip-only check)."""
+        rng = np.random.default_rng(ftype * 31 + len(shape))
+        hi = 256 if dtype == np.uint8 else 65536
+        img = rng.integers(0, hi, shape, dtype=dtype)
+        h = shape[0]
+        ch = shape[2] if len(shape) == 3 else 1
+        bit_depth = 8 if dtype == np.uint8 else 16
+        lines = (
+            img.astype(">u2").reshape(h, -1).view(np.uint8)
+            if bit_depth == 16 else img.reshape(h, -1)
+        )
+        # .tolist() → python ints: the per-pixel reference does raw
+        # arithmetic and would silently overflow on np.uint8 scalars
+        rows = [np.ascontiguousarray(lines)[y].tolist() for y in range(h)]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ref_raw, _ = build_png(rows, bit_depth=bit_depth,
+                               color_type=color_type, filters=[ftype] * h)
+        data = codecs.png_encode(img, filter_type=ftype)
+        idat = b"".join(
+            body for ctype, body in codecs._png_chunks(data) if ctype == b"IDAT"
+        )
+        assert zlib.decompress(idat) == bytes(ref_raw)
+        np.testing.assert_array_equal(codecs.png_decode(data), img)
+
     def test_paeth_tiebreak_left(self):
         # pa == pb == pc must predict from a (left), not b or c
         rows = [[10, 10, 10], [10, 10, 10]]
