@@ -51,10 +51,14 @@ def load(since: int | None = None, n_docs: int | None = None,
 def binding_ceiling(r: dict) -> float:
     """The LOWEST same-window hardware/runtime control — the tightest
     bound any software workload of that access-pattern class could
-    reach on this VM in that window."""
+    reach on this VM in that window. Controls reading < 0.1 are the
+    bistable collapsed state (the VM could not sustain that access
+    pattern AT ALL that minute — NOTES.md session 8); they bound
+    nothing about a ratio and are excluded rather than allowed to
+    turn eff/min-ceil into a 50× nonsense number."""
     ceils = [r.get("cpu_ceiling"), r.get("membw_ceiling"),
              r.get("randacc_ceiling"), r.get("jvmalloc_ceiling")]
-    return min(c for c in ceils if c)
+    return min(c for c in ceils if c and c >= 0.1)
 
 
 def table(rows: list[dict]) -> list[str]:
@@ -218,7 +222,15 @@ workload of its access-pattern class to scale in that window. The
 jvmalloc control matters most: pure-ALU reads ~1.0 and streaming
 membw ~0.9-0.95 in calm windows, but plain JVM allocation churn —
 no Spark, no Python, no shuffle — loses ~15-20% at 4 threads on
-this VM, which bounds any JVM expression-eval engine from outside. Protocol notes: each timed run is a
+this VM, which bounds any JVM expression-eval engine from outside.
+The jvmalloc control is also BISTABLE under bad VM weather: rows
+reading <0.1 are minutes where the VM could not sustain GC
+copy-pressure at all (hand-probes of the identical command flip
+between ~10.3M and ~0.22M ops/s within minutes, while a
+no-survivor-copy variant always reads ~10M — NOTES.md session 8);
+such rows say nothing about the engine's own ratio, so ignore
+eff/min-ceil where jvmalloc < 0.1 and read cpu/membw/randacc
+instead. Protocol notes: each timed run is a
 fresh-JVM steady-state minimum (warmup at n/8, then min-of-runs;
 noise only ever adds time); the hi level samples min-of-more runs
 per block than the lo level, which can only LOWER the recorded
