@@ -251,40 +251,79 @@ def spatial_join_tiles_regions(
     return out
 
 
-def _knn_disk_pass(
-    left: DataFrame,
+def _knn_pass(
+    remaining: DataFrame,
     right: DataFrame,
     k: int,
     res: int,
-    ring: int,
+    ring_global: int,
     lx, ly, rx, ry,
     left_key: str,
     right_key: str,
+    replicate_left: bool,
+    checkpoint: bool = True,
 ):
-    """One grid-disk candidate pass. Returns (exact top-k rows for
-    left keys whose neighborhood PROVABLY contains their true top-k,
-    remaining left rows).
+    """One grid-disk candidate pass. ``remaining`` carries a per-row
+    ``_ring`` column (proof radius in cells, set by the previous pass
+    from its k-th-candidate distance bound where one exists). Returns
+    the eagerly-checkpointed ``rn <= k`` frame with a ``_proven`` flag.
 
-    Exactness rule: any point within Euclidean distance ring·cell_size
-    of the probe is inside the Chebyshev grid_disk, so the disk's
-    top-k is the TRUE top-k iff the k-th candidate lies within that
-    radius (and ≥ k candidates exist)."""
+    Exactness rule (per row): any point within Euclidean distance
+    ring·cell_size of the probe is inside the Chebyshev grid_disk, so
+    the disk's top-k is the TRUE top-k iff the k-th candidate lies
+    within that radius (and ≥ k candidates exist).
+
+    Replication side is the pass's cost knob:
+      replicate_left=False — replicate the RIGHT side into its
+        grid_disk cells at the uniform ``ring_global``; cost
+        |right|·(2·ring+1)². Right choice while the unsolved-left set
+        is larger than the right corpus (pass 1, dense layouts).
+      replicate_left=True — replicate the (small) REMAINING-left set
+        into each row's own ``_ring`` disk and give the right side its
+        single home cell; cost Σ_left (2·_ring+1)² + |right|. This is
+        the sparse-tail pass: it stays LINEAR in |right| no matter how
+        wide the rings grow, where right-side replication would pay
+        (2·ring+1)² over the whole corpus again per pass.
+    """
     from pyspark.sql.window import Window
 
     s = float(cells.cell_size(res))
-    # Replicate the RIGHT side into its grid_disk cells and leave the
-    # (large) probe side at one row per point — build-side replication
-    # costs |right|·(2·ring+1)², probe-side would cost |left|·(…)².
-    r_exp = right
-    for axis in ("_dx", "_dy"):
-        r_exp = r_exp.withColumn(axis, F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
-    r_exp = r_exp.withColumn(
-        "cell",
-        cells.cell_expr(rx + F.col("_dx") * F.lit(s), ry + F.col("_dy") * F.lit(s), res),
-    ).drop("_dx", "_dy")
-
-    probe = left.withColumn("cell", cells.cell_expr(lx, ly, res))
-    cand = probe.join(r_exp, "cell", "inner").drop("cell")
+    if replicate_left:
+        l_exp = (
+            remaining
+            .withColumn("_dx", F.explode(F.sequence(-F.col("_ring"), F.col("_ring"))))
+            .withColumn("_dy", F.explode(F.sequence(-F.col("_ring"), F.col("_ring"))))
+            .withColumn(
+                "cell",
+                cells.cell_expr(
+                    lx + F.col("_dx") * F.lit(s), ly + F.col("_dy") * F.lit(s), res
+                ),
+            )
+            .drop("_dx", "_dy")
+        )
+        r_cell = right.withColumn("cell", cells.cell_expr(rx, ry, res))
+        # hash the exploded-left side per partition: it is the small
+        # side by the caller's n_rem < n_right rule, and shuffle-hash
+        # avoids sorting the (large) right corpus
+        cand = l_exp.hint("shuffle_hash").join(r_cell, "cell", "inner").drop("cell")
+        proof_cells = F.col("_ring")
+    else:
+        r_exp = right
+        for axis in ("_dx", "_dy"):
+            r_exp = r_exp.withColumn(
+                axis, F.explode(F.sequence(F.lit(-ring_global), F.lit(ring_global)))
+            )
+        r_exp = r_exp.withColumn(
+            "cell",
+            cells.cell_expr(
+                rx + F.col("_dx") * F.lit(s), ry + F.col("_dy") * F.lit(s), res
+            ),
+        ).drop("_dx", "_dy")
+        probe = remaining.withColumn("cell", cells.cell_expr(lx, ly, res))
+        cand = probe.join(r_exp, "cell", "inner").drop("cell")
+        # the global disk is a superset of every per-row ring, so the
+        # uniform radius is the (strictly stronger) proof bound here
+        proof_cells = F.lit(ring_global)
 
     dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
     cand = cand.withColumn("dist", dist)
@@ -297,17 +336,17 @@ def _knn_disk_pass(
         .withColumn("_n_cand", F.count("*").over(wp))
         .withColumn("_kth", F.max(F.when(F.col("rn") <= k, F.col("dist"))).over(wp))
     )
-    keep = ranked.filter(
-        (F.col("rn") <= k)
-        & (F.col("_n_cand") >= k)
-        & (F.col("_kth") <= F.lit(float(ring) * s))
-    ).drop("_n_cand", "_kth")
-    # keep feeds multiple consumers (output union + anti-join for the
-    # next pass); checkpoint the small top-k so the candidate join +
-    # window isn't re-executed per consumer
-    keep = keep.localCheckpoint(eager=False)
-    remaining = left.join(keep.select(left_key).distinct(), left_key, "left_anti")
-    return keep, remaining
+    top = ranked.filter(F.col("rn") <= k).withColumn(
+        "_proven",
+        (F.col("_n_cand") >= k) & (F.col("_kth") <= proof_cells * F.lit(s)),
+    )
+    if checkpoint:
+        # top feeds multiple consumers (proven output + solved-count +
+        # bounds for the next pass); the lazy checkpoint materializes
+        # the small per-key top-k ONCE — inside the very next action
+        # that touches it (the solved-count), not as its own job
+        return top.localCheckpoint(eager=False)
+    return top
 
 
 def _knn_tail(
@@ -325,7 +364,13 @@ def _knn_tail(
     right side OOMs the driver when right is fact-sized, even with
     only a handful of lefts remaining. If even the remaining set is
     too big to broadcast, fall back to a fully distributed cartesian —
-    slow but memory-safe (the degenerate-geometry last resort)."""
+    slow but memory-safe (the degenerate-geometry last resort).
+
+    If ``remaining`` carries a ``_b`` column (the k-th-candidate
+    distance bound from the last disk pass, null where unknown), pairs
+    beyond it are dropped BEFORE the rank window: every true top-k
+    pair has dist ≤ kth ≤ _b, so the filter is lossless while cutting
+    the window's sort input to just the plausible neighbors."""
     from pyspark.sql.window import Window
 
     dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
@@ -334,6 +379,10 @@ def _knn_tail(
     else:
         full = remaining.crossJoin(right)
     full = full.withColumn("dist", dist)
+    if "_b" in full.columns:
+        full = full.filter(
+            F.col("_b").isNull() | (F.col("dist") <= F.col("_b"))
+        ).drop("_b")
     fw = Window.partitionBy(left_key).orderBy(F.col("dist").asc(), F.col(right_key).asc())
     return full.withColumn("rn", F.row_number().over(fw)).filter(F.col("rn") <= k)
 
@@ -351,26 +400,45 @@ def knn_join(
     escalate: int = 4,
     max_ring: int = 64,
     broadcast_tail_rows: int = 1_000_000,
+    tail_pair_cap: int = 2_000_000,
 ) -> DataFrame:
     """k nearest right-rows for every left-row (SURVEY.md J12 — the
-    north_rule's kNN between tile centroids and labeled features).
+    north_rule's kNN between tile centroids and labeled features;
+    ``left_key`` is assumed unique per left row, as in the reference).
 
     Adaptive candidate generation: pass 1 searches each point's
     grid_disk of radius ``ring``; points whose neighborhood can't
-    prove its top-k (sparse areas) escalate geometrically
-    (ring·escalate, ring·escalate², … up to ``max_ring``). Exact
-    always; each pass touches only the still-unsolved lefts, so dense
-    regions pay the small disk and only the sparse tail pays wider
-    search — the property that holds under skewed feature layouts
-    (Zipf regions, lattice artifacts).
+    prove its top-k escalate — PER ROW. A row whose disk held ≥ k
+    candidates already carries an upper bound b = dist(k-th candidate)
+    on its true k-th distance, so its next ring is exactly ⌈b/s⌉ (one
+    more pass provably finishes it); only rows with < k candidates
+    (deep-sparse areas) escalate geometrically (ring·escalate, …, up
+    to ``max_ring``). Exact always; each pass touches only the
+    still-unsolved lefts, so dense regions pay the small disk and only
+    the sparse tail pays wider search — the property that holds under
+    skewed feature layouts (Zipf regions, lattice artifacts).
 
-    Cost rule between passes: a ring-r pass replicates the right side
-    (2r+1)² ways, the all-pairs tail costs |remaining|·|right| — so
-    once |remaining| ≤ (2r_next+1)² the tail is the cheaper exact
-    finish and we take it, broadcasting the SMALL remaining-left set
-    (never the right corpus, which may be fact-table-sized — the
-    round-1 driver-OOM risk). The per-pass count() actions are on the
-    already-checkpointed top-k, not recomputed joins."""
+    Replication side per pass: while the unsolved-left set is larger
+    than the right corpus, the RIGHT side replicates into its disk
+    cells (cost |right|·(2r+1)²); once n_rem < |right| the pass flips
+    to replicating the small LEFT remainder into per-row rings (cost
+    Σ(2·_ring+1)² + |right| — linear in |right| however wide the rings
+    grow, which is what keeps wide-ring escalation affordable when the
+    right side is fact-sized).
+
+    Tail rule (measured, jobs/knn_profile.py): the all-pairs tail
+    costs n_rem·|right| cross rows through one window — ~1s at ~750k
+    pairs and ~5s at 6.3M on the profiling VM, i.e. quadratic in SF if
+    entered too early. It is taken only when n_rem·|right| ≤
+    ``tail_pair_cap`` (or the ring cap is hit), broadcasting the SMALL
+    remaining-left set (never the right corpus, which may be
+    fact-table-sized — the round-1 driver-OOM risk).
+
+    Driver-side actions are two cheap scans up front (count of each
+    side — parquet row-group metadata at scale) plus, per pass, the
+    checkpoint job and a distinct-count on the checkpointed per-key
+    top-k; the anti-join building the next remainder executes inside
+    the next pass's job rather than as its own action."""
     if escalate < 2:
         raise ValueError(
             f"knn_join: escalate must be >= 2 (got {escalate}) — the ring "
@@ -380,27 +448,101 @@ def knn_join(
     rx, ry = (F.col(c) for c in right_xy)
 
     right = right.drop(*[c for c in left.columns if c in right.columns])
+    n_right = right.count()
+    n_left = left.count()
+    s = float(cells.cell_size(res))
 
+    def _solved(top):
+        # rn=1 marks exactly one row per solved key — no distinct shuffle
+        return top.filter(F.col("_proven") & (F.col("rn") == 1)).select(left_key)
+
+    def _next_remaining(top, rem, r_next, broadcastable):
+        """Per-row rings for the next pass: rows with ≥ k candidates use
+        their exact ⌈kth/s⌉ bound (cannot shrink: kth > ring·s ⇒
+        ⌈kth/s⌉ > ring), zero/under-k rows take the global escalation."""
+        bounds = (
+            top.filter(~F.col("_proven") & (F.col("_n_cand") >= k) & (F.col("rn") == 1))
+            .select(left_key, F.col("_kth").alias("_b"))
+        )
+        if broadcastable:
+            bounds = F.broadcast(bounds)
+        return (
+            rem.join(bounds, left_key, "left")
+            .withColumn(
+                "_ring",
+                F.least(
+                    F.lit(int(max_ring)),
+                    F.coalesce(
+                        F.ceil(F.col("_b") / F.lit(s)).cast("int"),
+                        F.lit(int(r_next)),
+                    ),
+                ),
+            )
+            .drop("_b")
+        )
+
+    remaining = left.withColumn("_ring", F.lit(int(ring)))
+
+    # (A static "fold both passes + tail into one action" variant was
+    # measured and REJECTED: without per-pass materialization every
+    # consumer duplicates the window subtree — the executed plan grew
+    # to 30 Window nodes with zero exchange reuse and ran slower than
+    # the counted ladder. The checkpoint-per-pass ladder is the fast
+    # shape on this engine.)
     keeps = []
     tail_ranked = None
-    remaining = left
-    r_i = ring
+    n_rem = n_left
+    r_g = ring
+    replicate_left = False  # pass 1: the full left side is the probe
     while True:
-        keep_i, remaining = _knn_disk_pass(
-            remaining, right, k, res, r_i, lx, ly, rx, ry, left_key, right_key
+        top = _knn_pass(
+            remaining, right, k, res, r_g, lx, ly, rx, ry, left_key,
+            right_key, replicate_left,
         )
-        keeps.append(keep_i)
-        n_rem = remaining.count()
-        if n_rem == 0:
+        solved = _solved(top)
+        keeps.append(
+            top.filter(F.col("_proven"))
+            .drop("_n_cand", "_kth", "_ring", "_proven")
+        )
+        # count on the checkpointed top-k — no join recompute
+        n_solved = solved.count()
+        n_rem -= n_solved
+        if n_rem <= 0:
             break
-        r_next = r_i * escalate
-        if r_next > max_ring or n_rem <= (2 * r_next + 1) ** 2:
+        # the solved-key set lives on the checkpointed top-k; broadcast
+        # the anti-join whenever it's safely small so the (large) left
+        # remainder keeps its partitioning instead of shuffling
+        anti_keys = (
+            F.broadcast(solved) if n_solved <= broadcast_tail_rows else solved
+        )
+        r_next = r_g * escalate
+        rem = remaining.drop("_ring").join(anti_keys, left_key, "left_anti")
+        if n_rem * max(n_right, 1) <= tail_pair_cap or r_next > max_ring:
+            # attach the last pass's kth bounds so the tail can
+            # pre-filter its cross pairs (lossless — see _knn_tail)
+            bounds = (
+                top.filter(
+                    ~F.col("_proven") & (F.col("_n_cand") >= k)
+                    & (F.col("rn") == 1)
+                ).select(left_key, F.col("_kth").alias("_b"))
+            )
+            if n_rem <= broadcast_tail_rows:
+                bounds = F.broadcast(bounds)
             tail_ranked = _knn_tail(
-                remaining, right, k, lx, ly, rx, ry, left_key, right_key,
+                rem.join(bounds, left_key, "left"), right, k,
+                lx, ly, rx, ry, left_key, right_key,
                 broadcast_left=n_rem <= broadcast_tail_rows,
             )
             break
-        r_i = r_next
+        replicate_left = n_rem < n_right
+        if replicate_left:
+            remaining = _next_remaining(
+                top, rem, r_next, broadcastable=n_rem <= broadcast_tail_rows)
+        else:
+            # right-side replication proves at the uniform global ring;
+            # per-row kth bounds are unused there, so skip their join
+            remaining = rem.withColumn("_ring", F.lit(int(r_next)))
+        r_g = r_next
 
     out = keeps[0]
     for other in keeps[1:] + ([tail_ranked] if tail_ranked is not None else []):

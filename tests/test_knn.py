@@ -89,6 +89,18 @@ def test_knn_distributed_tail_when_left_too_big(knn_data):
     _check(out, _brute(left, right))
 
 
+def test_knn_ladder_leftrep_exact(knn_data):
+    """tail_pair_cap=0 forbids the all-pairs tail (and the static
+    fold), forcing the counted ladder through its escalation passes —
+    including the left-replicated per-row-ring passes that fire once
+    n_rem < |right| — until max_ring. Exactness must hold on that
+    path too."""
+    left, right, ldf, rdf = knn_data
+    out = knn_join(ldf, rdf, k=K, res=12, ring=1, tail_pair_cap=0,
+                   left_key="event_id", right_key="geom_id")
+    _check(out, _brute(left, right))
+
+
 def test_knn_k_exceeds_right(spark):
     """k > |right|: nothing is provable by rings; the tail must emit
     all |right| neighbors per left."""
