@@ -327,7 +327,12 @@ _Q08_SQL = """
 def q09_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4: the tiling operator — reference loop semantics (stride
     steps, clamped edge tiles, row-major ordinals, pixel-offset tile
-    ids) as explode(sequence) column math."""
+    ids) as explode(sequence) column math.
+
+    CONTRACT: result rows are UNORDERED across partitions (only
+    sorted within each); row identity and row-major order are carried
+    by the `ordinal` column. Consumers must compare order-insensitively
+    (the driver's sorted-hash does; tests/run_oracle_check.py sorts)."""
     from georip_spark.operators.tiling import tile_grid
 
     rasters = _rasters_from_part(spark, sf_dir)
@@ -371,7 +376,11 @@ def q10_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J5: the cell-indexed point-in-polygon join — event points vs
     supplier rectangles through the real spatial-join operator
     (cover cells → equi-join → reference-point dedup → exact numpy
-    refinement). Oracle is a plain range-predicate join."""
+    refinement). Oracle is a plain range-predicate join.
+
+    CONTRACT: result rows are UNORDERED across partitions; pair
+    identity is the (event_id, s_suppkey) columns themselves.
+    Consumers must compare order-insensitively."""
     from georip_spark.operators.joins import prepare_regions, spatial_join_tiles_regions
 
     pts = _points_from_events(spark, sf_dir).select(
@@ -413,7 +422,11 @@ _Q10_SQL = f"""
 
 def q11_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J12: kNN via grid-disk candidate rings + windowed top-k with
-    brute-force fallback. k=3 nearest supplier points per event."""
+    brute-force fallback. k=3 nearest supplier points per event.
+
+    CONTRACT: result rows are UNORDERED across partitions; neighbor
+    order is carried by the `rank` column (1..k per event_id).
+    Consumers must compare order-insensitively."""
     from georip_spark.operators.joins import knn_join
 
     # deterministic 1/5 sample keeps the candidate+fallback volume sane
@@ -1541,11 +1554,13 @@ def q36_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from georip_spark.operators.multimodal import media_meta_cols
 
     d = _t(spark, sf_dir, "documents")
+    # pre-shrink BEFORE the single-partition window: orderBy+limit is
+    # a TakeOrderedAndProject (no full sort), so only 240 rows funnel
+    # through the no-partitionBy row_number (ADVICE r4)
     w = Window.orderBy("doc_id")
     p = (
-        d.select("doc_id")
+        d.select("doc_id").orderBy("doc_id").limit(240)
         .withColumn("i", F.row_number().over(w) - 1)
-        .filter(F.col("i") < 240)
         .select(
             "doc_id",
             F.when(F.col("i") % 2 == 0, "png").otherwise("wav").alias("kind"),

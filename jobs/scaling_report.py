@@ -23,6 +23,7 @@ pairs and sizes, so no configuration is hidden.
 from __future__ import annotations
 
 import json
+import math
 import statistics
 import sys
 
@@ -58,7 +59,10 @@ def binding_ceiling(r: dict) -> float:
     turn eff/min-ceil into a 50× nonsense number."""
     ceils = [r.get("cpu_ceiling"), r.get("membw_ceiling"),
              r.get("randacc_ceiling"), r.get("jvmalloc_ceiling")]
-    return min(c for c in ceils if c and c >= 0.1)
+    kept = [c for c in ceils if c and c >= 0.1]
+    # all controls collapsed/missing: the window bounds nothing — flag
+    # it (NaN renders as 'n/a' in the table, excluded from summaries)
+    return min(kept) if kept else float("nan")
 
 
 def table(rows: list[dict]) -> list[str]:
@@ -69,7 +73,8 @@ def table(rows: list[dict]) -> list[str]:
         "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        ratio = round(r["eff_best"] / binding_ceiling(r), 2)
+        bc = binding_ceiling(r)
+        ratio = "n/a" if math.isnan(bc) else round(r["eff_best"] / bc, 2)
         ra = r.get("randacc_ceiling") or "—"
         ja = r.get("jvmalloc_ceiling") or "—"
         out.append(
@@ -100,15 +105,18 @@ def main() -> None:
 
     calm = [r for r in rows if r["cpu_ceiling"] >= 0.9]
     best = max(calm or rows, key=lambda r: r["eff_best"])
-    ratios = [r["eff_best"] / binding_ceiling(r) for r in rows]
+    ratios = [r["eff_best"] / bc for r in rows
+              if not math.isnan(bc := binding_ceiling(r))]
     summary = {
         "windows": len(rows),
         "calm_windows": len(calm),
         "best_calm_eff": best["eff_best"],
         "best_calm_cpu_ceiling": best["cpu_ceiling"],
         "eff_best_all": [r["eff_best"] for r in rows],
-        "eff_over_min_ceiling_median": round(statistics.median(ratios), 3),
-        "eff_over_min_ceiling_min": round(min(ratios), 3),
+        "eff_over_min_ceiling_median": (
+            round(statistics.median(ratios), 3) if ratios else None),
+        "eff_over_min_ceiling_min": (
+            round(min(ratios), 3) if ratios else None),
     }
     if md:
         print("\n".join(table(rows)))
