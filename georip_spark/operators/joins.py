@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from georip_spark.exprcache import cached_column
 from georip_spark.geo import cells
 from georip_spark.operators import geom_udfs
 
@@ -78,13 +79,17 @@ def prepare_regions(regions: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     stats = geom_udfs.geometry_stats(with_id, "geometry")
     covered = stats.withColumn(
         "cover",
-        F.when(
-            F.col("is_empty") | F.col("minx").isNull(),
-            F.array().cast("array<long>"),
-        ).otherwise(
-            cells.cover_bbox_expr(
-                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res
-            )
+        cached_column(
+            ("prepare_regions.cover", res),
+            lambda: F.when(
+                F.col("is_empty") | F.col("minx").isNull(),
+                F.array().cast("array<long>"),
+            ).otherwise(
+                cells.cover_bbox_expr(
+                    F.col("minx"), F.col("miny"), F.col("maxx"),
+                    F.col("maxy"), res,
+                )
+            ),
         ),
     )
     return covered
@@ -154,10 +159,14 @@ def spatial_join_tiles_regions(
 
     probe = tiles.withColumn(
         "cell",
-        F.explode(
-            cells.cover_bbox_expr(
-                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res
-            )
+        cached_column(
+            ("spatial_join.probe_cover", res),
+            lambda: F.explode(
+                cells.cover_bbox_expr(
+                    F.col("minx"), F.col("miny"), F.col("maxx"),
+                    F.col("maxy"), res,
+                )
+            ),
         ),
     )
 

@@ -284,6 +284,10 @@ def attach_stats(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
     node), which evaluates the parse ONCE per row and is a hard
     CollapseProject boundary — `.select('_g.minx', …)` on a plain
     expression struct would inline one full parse per field."""
-    return df.select(
-        "*", F.inline(F.array(geom_stats_struct(F.col(geom_col))))
+    from georip_spark.exprcache import cached_column
+
+    stats = cached_column(
+        ("jvm_wkt.attach_stats", geom_col),
+        lambda: F.inline(F.array(geom_stats_struct(F.col(geom_col)))),
     )
+    return df.select("*", stats)

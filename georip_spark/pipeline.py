@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from georip_spark import functions as GF
+from georip_spark.exprcache import cached_column
 from georip_spark.operators import geom_udfs, jvm_clip, jvm_wkt
 from georip_spark.operators.joins import (
     DEFAULT_RES,
@@ -271,9 +272,12 @@ def build_labels(
         # second parse); invalid rows are Backgrounded before the clip
         regions_prepared = regions_prepared.withColumn(
             "rings",
-            F.when(
-                F.col("is_valid") & F.col("has_holes"),
-                jvm_wkt.rings_expr(F.col("geometry")),
+            cached_column(
+                ("pipeline.rings", "geometry"),
+                lambda: F.when(
+                    F.col("is_valid") & F.col("has_holes"),
+                    jvm_wkt.rings_expr(F.col("geometry")),
+                ),
             ),
         )
     exclude = ("geometry",) if (rect_fast and general_jvm) else ()
@@ -314,12 +318,19 @@ def build_labels(
         # property sweep). When no valid region has holes (the
         # any_holed probe above) the hot stage has NO ArrowEvalPython
         # at all.
-        fast = _rect_clip_coords()
-        gen = jvm_clip.clip_normalize_coords(
-            F.col("shells"), F.col("minx"), F.col("miny"),
-            F.col("maxx"), F.col("maxy"),
-            g_bbox=(F.col("g_minx"), F.col("g_miny"),
-                    F.col("g_maxx"), F.col("g_maxy")),
+        # the rect fast path and the S-H trees are built from FIXED
+        # column names, so the (expensive, py4j-built) Columns are
+        # memoized — see exprcache module docstring for the measured
+        # driver-second costs this removes from every re-plan
+        fast = cached_column(("pipeline.rect_clip",), _rect_clip_coords)
+        gen = cached_column(
+            ("pipeline.gen_clip",),
+            lambda: jvm_clip.clip_normalize_coords(
+                F.col("shells"), F.col("minx"), F.col("miny"),
+                F.col("maxx"), F.col("maxy"),
+                g_bbox=(F.col("g_minx"), F.col("g_miny"),
+                        F.col("g_maxx"), F.col("g_maxy")),
+            ),
         )
         if not any_holed:
             labeled = labeled.withColumn(
@@ -332,11 +343,14 @@ def build_labels(
             # ring arrays (largest |shell|−Σ|holes| part selection,
             # jvm_clip.clip_normalize_coords_mp) — zero Python on the
             # hot stage for EVERY input shape.
-            gen_mp = jvm_clip.clip_normalize_coords_mp(
-                F.col("rings"), F.col("minx"), F.col("miny"),
-                F.col("maxx"), F.col("maxy"),
-                g_bbox=(F.col("g_minx"), F.col("g_miny"),
-                        F.col("g_maxx"), F.col("g_maxy")),
+            gen_mp = cached_column(
+                ("pipeline.gen_clip_mp",),
+                lambda: jvm_clip.clip_normalize_coords_mp(
+                    F.col("rings"), F.col("minx"), F.col("miny"),
+                    F.col("maxx"), F.col("maxy"),
+                    g_bbox=(F.col("g_minx"), F.col("g_miny"),
+                            F.col("g_maxx"), F.col("g_maxy")),
+                ),
             )
             labeled = labeled.withColumn(
                 "coords",
@@ -366,10 +380,13 @@ def build_labels(
     # georip/geoprocessing/utils.py:190-262) — here the normalized
     # ring must span area; a 2-point or zero-extent ring was already
     # rejected by the clip kernel.
-    label_text = F.concat_ws(
-        " ",
-        F.col("class_id").cast("string"),
-        F.array_join(F.transform("coords", GF.fmt6), " "),
+    label_text = cached_column(
+        ("pipeline.label_text",),
+        lambda: F.concat_ws(
+            " ",
+            F.col("class_id").cast("string"),
+            F.array_join(F.transform("coords", GF.fmt6), " "),
+        ),
     )
     return labeled.withColumn("label", label_text)
 
