@@ -70,23 +70,34 @@ def main() -> None:
         .filter("is_valid AND has_holes").limit(1).count() > 0
     )
 
-    # The plan is CONSTRUCTED once and EXECUTED per timed run — the
-    # posture of any production job with a stable plan (construct at
-    # submit, execute over arriving partitions). Construction cost is
-    # driver-side py4j/analysis work, now memoized anyway
-    # (georip_spark/exprcache.py); each collect below still re-runs
-    # the full optimizer + physical planning + execution.
+    # Each timed run constructs a FRESH Dataset: re-collecting one
+    # Dataset would reuse its RDD graph and the scheduler would skip
+    # every shuffle stage whose map output already exists (measured:
+    # 0.08s "runs" — an artifact, not throughput). Expression
+    # construction is memoized (georip_spark/exprcache.py), so the
+    # rebuild costs ~driver analysis only, and every run pays the full
+    # optimizer + physical planning + execution.
     rasters = spark.read.parquet(f"{inp}/rasters")
     regions = spark.read.parquet(f"{inp}/regions")
-    _out = build_dataset(
-        rasters, regions, broadcast_regions=True, any_holed=_holed
-    )["docs_out"].selectExpr(
-        "count(*) AS docs", "sum(size(spans)) AS spans"
-    )
+
+    # AQE off for THIS job only (restored before the q-queries, where
+    # it measurably helps — q11's ladder reads 2.9s with AQE vs 4.4s
+    # without). The pipeline DAG is all broadcast/hash joins with
+    # explicitly sized partitioning: AQE has nothing to re-plan, but
+    # its per-stage re-optimization of the very large clip expression
+    # tree costs ~1s of driver-serial time per run (measured round 5:
+    # 4.97s -> 3.90s min). At 100 TB the same job would enable AQE for
+    # skew splitting on the shuffle-hash path; salting stays exposed.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     def run_pipeline():
+        out = build_dataset(
+            rasters, regions, broadcast_regions=True, any_holed=_holed
+        )
         t0 = time.time()
-        stats = _out.collect()[0]
+        stats = out["docs_out"].selectExpr(
+            "count(*) AS docs", "sum(size(spans)) AS spans"
+        ).collect()[0]
         return int(stats["spans"]), time.time() - t0
 
     def best_of(run, n_min: int, n_max: int, spread: float):
@@ -119,6 +130,7 @@ def main() -> None:
     timings["pipeline_build_dataset"] = round(pipeline_sec, 3)
 
     # --- headline queries over driver testdata ------------------------
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     qs = entrymod.queries()
     names = (
         "q01_pricing_summary", "q09_tile_grid", "q10_pip_join",
