@@ -1659,6 +1659,117 @@ ORDER BY p.doc_id
 """
 
 
+# unique memory-sink names: the driver may invoke a streaming gate
+# more than once per session (warm + timed), and a memory table name
+# can only back one query at a time
+_STREAM_QUERY_SEQ = [0]
+
+
+def _stream_query_name(base: str) -> str:
+    _STREAM_QUERY_SEQ[0] += 1
+    return f"{base}_{_STREAM_QUERY_SEQ[0]}"
+
+
+def q37_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the Structured-Streaming dedup path (round-5
+    VERDICT #5; `georip_spark/streaming.py`). The documents table is
+    read as a file-source STREAM, each row deterministically
+    re-arrives 1 + (doc_id % 3) times (the duplicate-injection that
+    exercises the dropDuplicatesWithinWatermark state store — the sf
+    corpora have no natural exact dupes), and
+    streaming.stream_exact_dedup must emit exactly one survivor per
+    fingerprint under trigger=availableNow. Fingerprint =
+    md5(doc_id \\x1f text): scoped per source row so the survivor's
+    non-key columns are deterministic regardless of arrival order
+    (a cross-doc content fingerprint would make the surviving doc_id
+    depend on batch order; cross-doc content dedup is q13's batch
+    gate). Output = every survivor's (fingerprint, doc_id, n_chars),
+    sorted — any state-store bug (dropped first arrival, surviving
+    re-arrival, double emit) breaks rows or hash."""
+    import tempfile
+
+    from georip_spark import streaming as GS
+
+    # the sf tables are single FILES; the file stream source lists a
+    # DIRECTORY, so stage the table into one (same as q38's docs)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="q37_docs_")
+    batch.write.mode("overwrite").parquet(tmp)
+    src = (
+        spark.readStream.schema(batch.schema)
+        .parquet(tmp)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.pmod(F.col("doc_id"), F.lit(3)).cast("int")
+                )
+            ),
+        )
+        .withColumn(
+            # spread event times over 600s; the 24h watermark keeps
+            # every row inside the horizon however availableNow chunks
+            # the input into micro-batches (a 10min watermark dropped
+            # the min-event_ts row as late once batch 1 advanced the
+            # watermark to exactly its timestamp)
+            "event_ts",
+            F.timestamp_seconds(
+                F.lit(100000) + F.pmod(F.col("doc_id"), F.lit(600))
+            ),
+        )
+    )
+    fp = F.md5(
+        F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.col("text"))
+    )
+    survivors = GS.stream_exact_dedup(src, watermark="24 hours", fingerprint=fp)
+    out = GS.run_availablenow(survivors, _stream_query_name("q37_dedup"))
+    return out.select(
+        "fingerprint",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    ).orderBy("fingerprint")
+
+
+_Q37_SQL = """
+    SELECT md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), text)) AS fingerprint,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
+    FROM documents ORDER BY fingerprint
+"""
+
+
+def q38_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the streaming ingest path: the contract docs
+    table is materialized to parquet once, read back as a file-source
+    STREAM (streaming.stream_docs), pushed through the stream-static
+    raster-metadata join + media-span fan-out
+    (streaming.stream_tiles == pipeline.tiles_from_docs, batch-parity
+    tested), and the availableNow result must reproduce q29's per-doc
+    tile aggregates — the SAME DuckDB oracle, so the streaming lane
+    is held to the full value-hash bar, not rows-only."""
+    import tempfile
+
+    from georip_spark import streaming as GS, synth
+
+    rasters = _rasters_from_part(spark, sf_dir)
+    docs = synth.synth_docs(spark, rasters)
+    tmp = tempfile.mkdtemp(prefix="q38_docs_")
+    docs.write.mode("overwrite").parquet(tmp)
+    tiles = GS.stream_tiles(GS.stream_docs(spark, tmp), rasters)
+    out = GS.run_availablenow(tiles, _stream_query_name("q38_tiles"))
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum("ordinal").cast("long").alias("sum_ordinal"),
+            F.sum((F.col("tile_w") * F.col("tile_h")).cast("long")).cast("long").alias("sum_px"),
+            F.round(F.min("minx"), 6).alias("grid_minx"),
+            F.round(F.max("maxy"), 6).alias("grid_maxy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1697,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ann_topk_lsh": q34_ann_topk_lsh,
         "q35_holed_clip": q35_holed_clip,
         "q36_media_roundtrip": q36_media_roundtrip,
+        "q37_stream_exact_dedup": q37_stream_exact_dedup,
+        "q38_stream_tiles": q38_stream_tiles,
     }
 
 
@@ -1738,4 +1851,6 @@ def oracle_sql() -> dict[str, str]:
         "q34_ann_topk_lsh": _Q34_SQL,
         "q35_holed_clip": _Q35_SQL,
         "q36_media_roundtrip": _Q36_SQL,
+        "q37_stream_exact_dedup": _Q37_SQL,
+        "q38_stream_tiles": _Q29_SQL,
     }

@@ -123,13 +123,19 @@ def doc_content(spans_col) -> "F.Column":
 
 
 def stream_exact_dedup(
-    docs_stream: DataFrame, watermark: str = "10 minutes"
+    docs_stream: DataFrame,
+    watermark: str = "10 minutes",
+    fingerprint: "F.Column | None" = None,
 ) -> DataFrame:
     """Streaming exact dedup: first arrival per content fingerprint
     survives; re-arrivals within the watermark horizon are dropped.
-    Fingerprint = md5(doc_content) — the same content identity
-    operators/dedup.py's exact_dup_groups computes in batch."""
-    fp = F.md5(doc_content(F.col("spans")))
+    Default fingerprint = md5(doc_content(spans)) — the same content
+    identity operators/dedup.py's exact_dup_groups computes in batch;
+    pass ``fingerprint`` to dedup a differently-shaped stream (e.g.
+    the flat documents table keyed on md5(text), q37's driver gate)."""
+    fp = fingerprint if fingerprint is not None else F.md5(
+        doc_content(F.col("spans"))
+    )
     return (
         docs_stream.withColumn("fingerprint", fp)
         .withWatermark("event_ts", watermark)

@@ -134,3 +134,48 @@ class TestStreaming:
         )
         assert got.count() == 2
         assert got.select("fingerprint").distinct().count() == 2
+
+    def test_stream_dedup_drops_injected_rearrivals(self, spark, tmp_path):
+        """The q37 driver-gate shape: a custom fingerprint column plus
+        deterministic duplicate injection (1 + id%3 copies per row).
+        Exactly one survivor per fingerprint must remain, and the
+        stream must have actually contained more rows than survivors
+        (otherwise the state store was never exercised)."""
+        import datetime as dt
+
+        n = 40
+        rows = [(i, f"text-{i}") for i in range(n)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        p = str(tmp_path / "flatdocs")
+        docs.write.parquet(p)
+        src = (
+            spark.readStream.schema(docs.schema).parquet(p)
+            .withColumn(
+                "copy",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.pmod(F.col("doc_id"), F.lit(3)).cast("int"),
+                    )
+                ),
+            )
+            .withColumn(
+                "event_ts",
+                F.timestamp_seconds(
+                    F.lit(100000) + F.pmod(F.col("doc_id"), F.lit(600))
+                ),
+            )
+        )
+        n_injected = docs.selectExpr(
+            "sum(1 + doc_id % 3) AS s"
+        ).collect()[0]["s"]
+        assert n_injected > n  # the stream really carries duplicates
+        fp = F.md5(
+            F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.col("text"))
+        )
+        got = S.run_availablenow(
+            S.stream_exact_dedup(src, watermark="24 hours", fingerprint=fp),
+            "t_inject",
+        )
+        assert got.count() == n
+        assert got.select("fingerprint").distinct().count() == n
