@@ -460,14 +460,28 @@ def rect_union(mps: list[MultiPolygon]) -> MultiPolygon:
         return []
     cx = 0.5 * (xs[:-1] + xs[1:])
     cy = 0.5 * (ys[:-1] + ys[1:])
-    gx, gy = np.meshgrid(cx, cy)          # (ny-1, nx-1)
-    flat_x, flat_y = gx.ravel(), gy.ravel()
-    covered = np.zeros(flat_x.shape, dtype=bool)
+    covered = np.zeros((len(cy), len(cx)), dtype=bool)
+    # mark coverage per input, windowed to the input's bbox sub-grid:
+    # every input edge lies on a grid line, so cells outside the bbox
+    # are provably uncovered by that input. For N small polys chained
+    # along a tile grid this turns O(N * grid) into ~O(N) total work.
     for mp in mps:
-        covered |= kernels.points_in_multipolygon(flat_x, flat_y, mp)
+        bminx = min(np.asarray(r, dtype=np.float64)[:, 0].min() for p in mp for r in p[:1])
+        bmaxx = max(np.asarray(r, dtype=np.float64)[:, 0].max() for p in mp for r in p[:1])
+        bminy = min(np.asarray(r, dtype=np.float64)[:, 1].min() for p in mp for r in p[:1])
+        bmaxy = max(np.asarray(r, dtype=np.float64)[:, 1].max() for p in mp for r in p[:1])
+        i0 = int(np.searchsorted(cx, bminx, side="left"))
+        i1 = int(np.searchsorted(cx, bmaxx, side="right"))
+        j0 = int(np.searchsorted(cy, bminy, side="left"))
+        j1 = int(np.searchsorted(cy, bmaxy, side="right"))
+        if i0 >= i1 or j0 >= j1:
+            continue
+        gx, gy = np.meshgrid(cx[i0:i1], cy[j0:j1])
+        hit = kernels.points_in_multipolygon(gx.ravel(), gy.ravel(), mp)
+        covered[j0:j1, i0:i1] |= hit.reshape(j1 - j0, i1 - i0)
     # vectorize_mask walks pixel-space with row 0 at top; feed rows in
     # DESCENDING y so "up" in mask space is +y, then map back.
-    mask = covered.reshape(len(cy), len(cx))[::-1, :].astype(np.uint8)
+    mask = covered[::-1, :].astype(np.uint8)
     rings_px = vectorize_mask(mask)
     ny = len(ys)
     out = []

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from georip_spark.geo import wkt as W
-from georip_spark.operators.dissolve import connected_components, overlap_pairs
+from georip_spark.operators.dissolve import (
+    connected_components,
+    overlap_pairs,
+    union_members_clustered,
+)
 from georip_spark.operators.joins import prepare_regions
 from georip_spark.operators.rastervec import vectorize_mask
 from georip_spark.operators.tiling import tile_grid
@@ -98,19 +102,24 @@ def compile_predictions(
     member = pred_prepared.join(comps, "geom_id")
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # clustered union (dissolve.union_members_clustered): disjoint
+        # mask polys pass through, bbox-overlapping clusters get the
+        # TRUE boolean union (rectilinear → exact grid union), and the
+        # per-row exact_boundary degradation flag is threaded to the
+        # final output so degraded rows are filterable end-to-end.
+        # Per-task work stays bounded — a prediction component can
+        # span thousands of tiles, and a single monolithic union of
+        # the whole component is the unbounded hot-task shape a
+        # 100 TB job cannot afford.
         pdf = pdf.sort_values("geom_id").reset_index(drop=True)
-        polys = []
-        for g in pdf["geometry"]:
-            try:
-                polys.extend(W.parse_wkt(g))
-            except (ValueError, IndexError):
-                pass
+        merged_mp, exact_boundary = union_members_clustered(pdf["geometry"])
         return pd.DataFrame(
             [
                 {
                     "component": int(pdf["component"].iloc[0]),
                     "n_parts": len(pdf),
-                    "geometry": W.to_wkt(polys),
+                    "geometry": W.to_wkt(merged_mp),
+                    "exact_boundary": exact_boundary,
                     "minx": float(pdf["minx"].min()),
                     "miny": float(pdf["miny"].min()),
                     "maxx": float(pdf["maxx"].max()),
@@ -122,6 +131,7 @@ def compile_predictions(
     merged = member.groupBy("component").applyInPandas(
         merge,
         "component long, n_parts long, geometry string, "
+        "exact_boundary boolean, "
         "minx double, miny double, maxx double, maxy double",
     )
 
@@ -145,5 +155,8 @@ def compile_predictions(
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("component", "n_parts", "geometry", "class_name")
+        .select(
+            "component", "n_parts", "geometry", "class_name",
+            "exact_boundary",
+        )
     )
