@@ -772,11 +772,13 @@ def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q24_sql() -> str:
     # mirrors similarity.quantize / hyperplane_signature / int_dot:
-    # sig bit p = sign of Σ q_i·h_p[i], h_p[i] = ±1 from (p·31+i·17)%7<4;
+    # sig bit p = sign of Σ q_i·h_p[i], h_p[i] = ±1 from two Lehmer
+    # steps of seed (p·1009 + i·9176 + p·i·31 + 1) mod 65521 (the
+    # round-5 plane family — see hyperplane_signature docstring);
     # hot-bucket sub-split on vec_id % ceil(bucket_count/1000)
     planes = " + ".join(
         "(CASE WHEN list_sum(list_transform(list_zip(qe, generate_series(0, 63)), "
-        f"x -> CAST(x[1] AS BIGINT) * (CASE WHEN (({p * 31}) + x[2] * 17) % 7 < 4 THEN 1 ELSE -1 END))) > 0 "
+        f"x -> CAST(x[1] AS BIGINT) * (CASE WHEN (((({p * 1009} + x[2] * 9176 + x[2] * {31 * p} + 1) % 65521) * 48271) % 2147483647 * 48271) % 2147483647 < 1073741824 THEN 1 ELSE -1 END))) > 0 "
         f"THEN {2 ** p} ELSE 0 END)"
         for p in range(8)
     )
@@ -1365,12 +1367,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q34_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k similarity search — the scale
-    path next to q15's exact brute force (round 4). Queries are
-    vec_id 0..4 probing their own 8-plane signature bucket plus the 8
-    Hamming-1 buckets (sig XOR 2^p); candidates are scored with exact
-    integer dot/norms² and ranked by the bit-portable double
-    dot_q/(√nq2_q·√nc2_q) (IEEE ops over identical integer inputs —
-    no ROUND, q24's lesson). Output carries the exact longs."""
+    path next to q15's exact brute force (round 4; round 5 gates the
+    MULTI-TABLE OR-construction, the production recall shape — see
+    jobs/ann_recall.py for the measured recall table). Queries are
+    vec_id 0..4; each of 2 tables signs against a disjoint 8-plane
+    slice and probes its own bucket plus the 8 Hamming-1 buckets
+    (sig XOR 2^p); the candidate union is deduped on (q_id, vec_id),
+    scored with exact integer dot/norms² and ranked by the
+    bit-portable double dot_q/(√nq2_q·√nc2_q) (IEEE ops over
+    identical integer inputs — no ROUND, q24's lesson). Output
+    carries the exact longs."""
     from georip_spark.operators.similarity import ann_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1379,7 +1385,7 @@ def q34_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ann_topk_lsh(
-            e, q, k=10, n_planes=8, exclude_self=True
+            e, q, k=10, n_planes=8, exclude_self=True, n_tables=2
         )
         .select(
             F.col("q_id").cast("long").alias("q_id"),
@@ -1392,31 +1398,41 @@ def q34_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q34_sql() -> str:
-    # mirrors similarity.ann_topk_lsh: quantize → 8-plane signature
-    # (shared arithmetic with _q24_sql) → multi-probe sig XOR 2^p →
-    # exact integer scoring → rank by the IEEE double
-    planes = " + ".join(
-        "(CASE WHEN list_sum(list_transform(list_zip(qe, generate_series(0, 63)), "
-        f"x -> CAST(x[1] AS BIGINT) * (CASE WHEN (({p * 31}) + x[2] * 17) % 7 < 4 THEN 1 ELSE -1 END))) > 0 "
-        f"THEN {2 ** p} ELSE 0 END)"
-        for p in range(8)
+    # mirrors similarity.ann_topk_lsh: quantize → per-table 8-plane
+    # signature over disjoint plane slices (shared arithmetic with
+    # _q24_sql) → join key sig + t·2⁸ → multi-probe sig XOR 2^p →
+    # DISTINCT pair dedup → exact integer scoring → rank by the IEEE
+    # double
+    def sig_expr(offset: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_sum(list_transform(list_zip(qe, generate_series(0, 63)), "
+            f"x -> CAST(x[1] AS BIGINT) * (CASE WHEN (((({P * 1009} + x[2] * 9176 + x[2] * {31 * P} + 1) % 65521) * 48271) % 2147483647 * 48271) % 2147483647 < 1073741824 THEN 1 ELSE -1 END))) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+            for p, P in ((p, offset + p) for p in range(8))
+        )
+
+    csigs = ", ".join(
+        f"CAST({sig_expr(t * 8)} AS BIGINT) + {t * 256} AS sig_t{t}" for t in range(2)
     )
-    probe_list = "[sig0, " + ", ".join(
-        f"xor(sig0, {1 << p})" for p in range(8)
+    probe_list = "[" + ", ".join(
+        f"xor(sig_t{t} - {t * 256}, {m}) + {t * 256}"
+        for t in range(2)
+        for m in [0] + [1 << p for p in range(8)]
     ) + "]"
     return f"""
     WITH q AS (SELECT vec_id,
             list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
         FROM embeddings),
-    sigs AS (SELECT vec_id, qe, CAST({planes} AS BIGINT) AS sig FROM q),
-    qs AS (SELECT vec_id AS q_id, qe AS qq, sig AS sig0 FROM sigs WHERE vec_id < 5),
+    sigs AS (SELECT vec_id, qe, {csigs} FROM q),
+    csig AS (SELECT vec_id, qe, unnest([sig_t0, sig_t1]) AS sig FROM sigs),
+    qs AS (SELECT vec_id AS q_id, qe AS qq, sig_t0, sig_t1 FROM sigs WHERE vec_id < 5),
     probes AS (SELECT q_id, qq, unnest({probe_list}) AS sig FROM qs),
-    cand AS (SELECT p.q_id, s.vec_id,
+    cand AS (SELECT DISTINCT p.q_id, s.vec_id,
             CAST(list_sum(list_transform(list_zip(p.qq, s.qe),
                 x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS dot_q,
             CAST(list_sum(list_transform(p.qq, v -> v * v)) AS BIGINT) AS nq2_q,
             CAST(list_sum(list_transform(s.qe, v -> v * v)) AS BIGINT) AS nc2_q
-        FROM probes p JOIN sigs s USING (sig)
+        FROM probes p JOIN csig s USING (sig)
         WHERE s.vec_id <> p.q_id),
     ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY CAST(dot_q AS DOUBLE) / (sqrt(CAST(nq2_q AS DOUBLE)) * sqrt(CAST(nc2_q AS DOUBLE))) DESC,
