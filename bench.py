@@ -53,10 +53,14 @@ def main() -> None:
 
     inp = tempfile.mkdtemp(prefix="georip_bench_")
     par = spark.sparkContext.defaultParallelism
+    # store at 2·par splits: a real 100 TB table scans at thousands of
+    # splits; at par/2 the dim-prep stages (JVM WKT stats over the
+    # regions parquet) ran 16-wide on 32 cores — half the machine idle
+    # on the critical path before the fan-out exchange
     _r = synth.synth_rasters(spark, n_docs)
-    _r.repartition(max(4, par // 2)).write.parquet(f"{inp}/rasters")
+    _r.repartition(2 * par).write.parquet(f"{inp}/rasters")
     synth.synth_regions(spark, _r, polys_per_doc=3).repartition(
-        max(4, par // 2)
+        2 * par
     ).write.parquet(f"{inp}/regions")
 
     # dim-plan decisions hoisted ONCE, as any production job with a
