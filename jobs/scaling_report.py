@@ -234,6 +234,25 @@ IDENTICALLY at both levels (SCALING_EXTRA_CONF). The campaign's
 the serial leg and FLATTER the ratio. Equalizing removes that
 flattery; nothing else differs from the 64k protocol.
 
+512k result (window 1787172155): eff 0.611 best / 0.575 median with
+ALL FOUR same-window controls calm (cpu 0.895, membw 0.985, randacc
+1.083, jvmalloc 0.853) — the best-controlled window in the whole
+record, and it reads the same ~0.61 as the 256k windows. The
+round-2 amortization trend (0.57@64k → 0.74@256k) does NOT continue
+upward: past cache residency the binding term is the VM's single
+shared DRAM bus + GC copy-pressure (the jvmalloc control, the
+engine's own allocation class, reads 0.853 at 4 threads with NO
+Spark involved; engine/jvmalloc-ceiling = 0.72 in this window). On a
+real cluster the N→4N step of the north_rule adds a memory bus and a
+GC'd heap per machine — the invariant this single-socket VM cannot
+emulate at any n. The recorded ≥0.8 target is met only in the
+cache-resident 64k windows (0.82 best-calm-CPU, with the memory-side
+disclosure below; 0.767 with every control calm); at bus-bound sizes
+the honest number is 0.58–0.63 against a 0.85–0.99 control ceiling,
+and the engine's efficiency-to-binding-ceiling ratio holds a 0.905
+median (min 0.64) across all 26 pinned/unpinned 1→4 and 2→8 windows
+on file.
+
 Headline (best calm window, CPU control ≥ 0.9, current code):
 
 | config | docs | spans | best (s) | all runs (s) | spans/s (best) |
