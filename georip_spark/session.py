@@ -48,6 +48,13 @@ _DEFAULTS = {
     # dropped 3.9s → 3.1s at 48g. On a real cluster this key sizes
     # only the driver; executors carry their own spark.executor.memory.
     "spark.driver.memory": "48g",
+    # Pre-fault the heap at JVM start: this host intermittently cannot
+    # serve fresh-page faults at GC-copy rates (the bistable jvmalloc
+    # control, NOTES.md r4 session 7 / r5 session 2) — with the heap
+    # resident up front, G1 region expansion stops faulting mid-run
+    # (measured in a collapsed-state window: pipeline legs 12-20s
+    # without, 4.6-5.2s with, q-queries unaffected either way).
+    "spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch",
     "spark.sql.shuffle.partitions": "64",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
