@@ -1786,6 +1786,123 @@ def q38_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the from-scratch baseline JPEG codec (round-5;
+    `georip_spark/jpeg.py`, ITU-T T.81). Per doc i ∈ [0, 240): two
+    executor-side legs inside one mapInPandas —
+
+    * EXACT leg: a flat grayscale image (mh×mw, every pixel = v with
+      v = 2·((i·13) mod 128), i.e. even) encoded at quality 50 then
+      decoded. At q50 the luma quantizer's DC entry is 16 and the DC
+      coefficient of a flat block is 8·(v−128), so DC/qt = (v−128)/2
+      is integral for even v: the roundtrip recovers every pixel
+      bit-exactly and ``flat_sum`` = v·mw·mh — which DuckDB computes
+      closed-form with no codec at all.
+    * LOSSY leg: a triangle-wave image pixel(y,x) =
+      |((seed + 3x + 5y) mod 510) − 255| encoded at quality 90,
+      decoded, PSNR against the source asserted ≥ 28 dB (measured
+      worst case over all 240 parameter rows: 31.1). The payload then
+      flows through ``media_meta_cols``' pure-JVM magic sniff
+      ('jpeg') while width/height/channels come from
+      ``jpeg.jpeg_meta``'s python header parse — pinning both parse
+      paths against the encoder's emitted SOF0.
+
+    Reference parity: the reference never encodes JPEG (it emits PNG
+    chips via skimage — georip/raster/conversion.py:12-36); this gate
+    covers the engine's multimodal surface for the dominant web image
+    format with zero native dependencies."""
+    import numpy as _np
+    import pandas as _pd
+
+    from georip_spark import jpeg as _jpeg
+    from georip_spark.operators.multimodal import media_meta_cols
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    p = (
+        d.select("doc_id").orderBy("doc_id").limit(240)
+        .withColumn("i", F.row_number().over(w) - 1)
+        .select(
+            "doc_id",
+            (F.lit(8) + (F.col("i") * 7) % 25).cast("int").alias("mw"),
+            (F.lit(8) + (F.col("i") * 11) % 21).cast("int").alias("mh"),
+            (((F.col("i") * 13) % 128) * 2).cast("int").alias("v"),
+            ((F.col("i") * 31) % 256).cast("int").alias("seed"),
+        )
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads, sums, meta_w, meta_h, meta_c, psnr_ok = [], [], [], [], [], []
+            for mw, mh, v, seed in zip(
+                pdf["mw"].values, pdf["mh"].values,
+                pdf["v"].values, pdf["seed"].values,
+            ):
+                mw, mh, v, seed = int(mw), int(mh), int(v), int(seed)
+                flat = _np.full((mh, mw), v, _np.uint8)
+                out = _jpeg.jpeg_decode(_jpeg.jpeg_encode(flat, quality=50))
+                sums.append(int(out.astype(_np.int64).sum()))
+                yy, xx = _np.mgrid[0:mh, 0:mw]
+                img = _np.abs(((seed + 3 * xx + 5 * yy) % 510) - 255).astype(
+                    _np.uint8
+                )
+                payload = _jpeg.jpeg_encode(img, quality=90)
+                dec = _jpeg.jpeg_decode(payload)
+                mse = float(
+                    _np.mean((dec.astype(_np.float64) - img.astype(_np.float64)) ** 2)
+                )
+                psnr = 99.0 if mse == 0 else 10 * _np.log10(255.0**2 / mse)
+                psnr_ok.append(bool(psnr >= 28.0))
+                m = _jpeg.jpeg_meta(payload)
+                meta_w.append(m["width"])
+                meta_h.append(m["height"])
+                meta_c.append(m["channels"])
+                payloads.append(payload)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "flat_sum": sums,
+                    "meta_w": meta_w,
+                    "meta_h": meta_h,
+                    "meta_channels": meta_c,
+                    "psnr_ok": psnr_ok,
+                }
+            )
+
+    decoded = p.mapInPandas(
+        run,
+        "doc_id long, payload binary, flat_sum long, meta_w int, "
+        "meta_h int, meta_channels int, psnr_ok boolean",
+    )
+    return (
+        media_meta_cols(decoded)
+        .select(
+            "doc_id", "sniffed_type", "meta_w", "meta_h",
+            "meta_channels", "flat_sum", "psnr_ok",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q39_SQL = """
+WITH base AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+    FROM documents ORDER BY doc_id LIMIT 240
+)
+SELECT doc_id,
+    'jpeg' AS sniffed_type,
+    CAST(8 + (i*7) % 25 AS INT) AS meta_w,
+    CAST(8 + (i*11) % 21 AS INT) AS meta_h,
+    CAST(1 AS INT) AS meta_channels,
+    CAST(((i*13) % 128) * 2 * (8 + (i*7) % 25) * (8 + (i*11) % 21) AS BIGINT)
+        AS flat_sum,
+    TRUE AS psnr_ok
+FROM base
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1826,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_media_roundtrip": q36_media_roundtrip,
         "q37_stream_exact_dedup": q37_stream_exact_dedup,
         "q38_stream_tiles": q38_stream_tiles,
+        "q39_jpeg_roundtrip": q39_jpeg_roundtrip,
     }
 
 
@@ -1869,4 +1987,5 @@ def oracle_sql() -> dict[str, str]:
         "q36_media_roundtrip": _Q36_SQL,
         "q37_stream_exact_dedup": _Q37_SQL,
         "q38_stream_tiles": _Q29_SQL,
+        "q39_jpeg_roundtrip": _Q39_SQL,
     }

@@ -394,9 +394,11 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 def sniff(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'png' | 'wav' | None."""
+    """Identify a payload by magic bytes: 'png' | 'wav' | 'jpeg' | None."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None

@@ -4,14 +4,16 @@ Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched functions over ``mapInPandas``.
 
-Decode is REAL for PNG images and WAV audio via the from-scratch
-spec implementations in ``georip_spark.codecs`` (stdlib zlib +
-numpy — no native codec libraries needed). Formats that genuinely
-require an entropy-coded codec the sandbox lacks (JPEG, MP4/H.264)
-keep the disclosed stub: ``decode_stub='error'`` raises
-NotImplementedError for unrecognized payloads (the honest production
-posture), ``decode_stub='fake'`` produces a deterministic fake decode
-derived from the payload bytes so plumbing stays testable either way.
+Decode is REAL for PNG images, baseline JPEG images, and WAV audio
+via the from-scratch spec implementations in ``georip_spark.codecs``
+and ``georip_spark.jpeg`` (stdlib zlib + numpy — no native codec
+libraries needed). Formats that genuinely require codec machinery
+the sandbox lacks (progressive/arithmetic JPEG, MP4/H.264 and all
+inter-frame video) keep the disclosed stub: ``decode_stub='error'``
+raises NotImplementedError for unrecognized payloads (the honest
+production posture), ``decode_stub='fake'`` produces a deterministic
+fake decode derived from the payload bytes so plumbing stays
+testable either way.
 
 Scale notes: payloads never pass through the driver; mapInPandas
 streams Arrow batches. Header metadata (dims, sample rate, …) for
@@ -32,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from georip_spark import codecs
+from georip_spark import codecs, jpeg
 
 MEDIA_META = T.StructType(
     [
@@ -85,13 +87,16 @@ def synth_media(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
 def synth_media_real(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """Like :func:`synth_media` but payloads are REAL encoded media:
-    image rows carry a deterministic PNG, audio rows a deterministic
-    16-bit PCM WAV (both produced by ``georip_spark.codecs``); video
-    rows keep opaque fake bytes (no from-scratch MP4 — disclosed).
-    Runs in mapInPandas so encode happens executor-side."""
+    image rows carry a deterministic PNG or baseline JPEG (alternating
+    by ref hash, so both image codecs are exercised), audio rows a
+    deterministic 16-bit PCM WAV; video rows keep opaque fake bytes
+    (no from-scratch MP4 — disclosed). Runs in mapInPandas so encode
+    happens executor-side."""
     base = synth_media(df, ref_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from georip_spark import jpeg as _jpeg
+
         for pdf in batches:
             payloads = []
             for ref, payload, meta in zip(
@@ -103,7 +108,10 @@ def synth_media_real(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
                     img = rng.integers(
                         0, 256, (meta["height"], meta["width"], 3), dtype=np.uint8
                     )
-                    payloads.append(codecs.png_encode(img))
+                    if seed % 2:
+                        payloads.append(_jpeg.jpeg_encode(img, quality=90))
+                    else:
+                        payloads.append(codecs.png_encode(img))
                 elif meta["media_type"] == "audio":
                     n = meta["sample_rate"] // 100  # 10 ms clip
                     samples = rng.integers(-32768, 32767, (n, 1), dtype=np.int16)
@@ -138,14 +146,17 @@ def media_meta_cols(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     WAV: RIFF/WAVE magic + the canonical layout with ``fmt `` as the
     first chunk (what every encoder here and virtually all writers
     emit); non-canonical chunk orders fall back to
-    ``extract_features``'s python parse. Adds ``sniffed_type``,
-    ``media_w``, ``media_h``, ``media_bit_depth``, ``media_channels``,
-    ``media_sample_rate``."""
+    ``extract_features``'s python parse. JPEG: magic only — its SOF0
+    frame header floats behind variable-length segments, so dims stay
+    null here and ``georip_spark.jpeg.jpeg_meta``'s python parse is
+    the dims path. Adds ``sniffed_type``, ``media_w``, ``media_h``,
+    ``media_bit_depth``, ``media_channels``, ``media_sample_rate``."""
     p = F.col(payload_col)
     is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
     is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
         F.hex(F.substring(p, 9, 4)) == "57415645"
     )
+    is_jpeg = F.hex(F.substring(p, 1, 3)) == "FFD8FF"
     png_color = _le_u(p, 26, 1)
     png_channels = (
         F.when(png_color == 0, 1)
@@ -156,7 +167,10 @@ def media_meta_cols(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
     return df.select(
         "*",
-        F.when(is_png, "png").when(is_wav, "wav").alias("sniffed_type"),
+        F.when(is_png, "png")
+        .when(is_wav, "wav")
+        .when(is_jpeg, "jpeg")
+        .alias("sniffed_type"),
         F.when(is_png, _be_u32(p, 17)).cast("int").alias("media_w"),
         F.when(is_png, _be_u32(p, 21)).cast("int").alias("media_h"),
         F.when(is_png, _le_u(p, 25, 1))
@@ -182,9 +196,10 @@ _RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """REAL pixel resample for PNG payloads: decode, nearest-neighbor
-    resample to ≤ max_side preserving aspect (deterministic integer
-    index map — no interpolation ties), re-encode PNG. Non-PNG rows
+    """REAL pixel resample for PNG and baseline-JPEG payloads: decode,
+    nearest-neighbor resample to ≤ max_side preserving aspect
+    (deterministic integer index map — no interpolation ties),
+    re-encode in the source format (JPEG at quality 90). Other rows
     pass through unchanged with their original dims."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -192,16 +207,26 @@ def resize_image(media: DataFrame, max_side: int = 64) -> DataFrame:
             rows = []
             for ref, payload in zip(pdf["media_ref"].values, pdf["payload"].values):
                 payload = bytes(payload)
-                if codecs.sniff(payload) != "png":
+                kind = codecs.sniff(payload)
+                if kind not in ("png", "jpeg"):
                     rows.append((ref, payload, None, None))
                     continue
-                img = codecs.png_decode(payload)
+                if kind == "png":
+                    img = codecs.png_decode(payload)
+                else:
+                    img = jpeg.jpeg_decode(payload)
                 h, w = img.shape[:2]
                 scale = min(max_side / w, max_side / h, 1.0)
                 tw, th = max(1, int(w * scale)), max(1, int(h * scale))
                 ys = (np.arange(th) * h) // th
                 xs = (np.arange(tw) * w) // tw
-                rows.append((ref, codecs.png_encode(img[ys][:, xs]), tw, th))
+                small = img[ys][:, xs]
+                out = (
+                    codecs.png_encode(small)
+                    if kind == "png"
+                    else jpeg.jpeg_encode(small, quality=90)
+                )
+                rows.append((ref, out, tw, th))
             yield pd.DataFrame(
                 rows, columns=["media_ref", "payload", "target_w", "target_h"]
             )
@@ -223,15 +248,18 @@ def decode_media(payload: bytes) -> np.ndarray | None:
     """REAL decode for recognized payloads, normalized to float32:
 
     * PNG → pixel array scaled to [0, 1] by the bit depth's max
+    * baseline JPEG → uint8 pixel array scaled to [0, 1]
     * WAV → (n_frames, n_channels) samples scaled to [-1, 1]
 
-    Returns None for unrecognized formats (JPEG/MP4 … — no
-    entropy-coded codec in this environment); callers pick the stub
-    posture. Pure python+numpy, safe inside Arrow workers."""
+    Returns None for unrecognized formats (video, progressive JPEG …)
+    so callers pick the stub posture. Pure python+numpy, safe inside
+    Arrow workers."""
     kind = codecs.sniff(payload)
     if kind == "png":
         arr = codecs.png_decode(payload)
         return arr.astype(np.float32) / float(np.iinfo(arr.dtype).max)
+    if kind == "jpeg":
+        return jpeg.jpeg_decode(payload).astype(np.float32) / 255.0
     if kind == "wav":
         samples, _rate = codecs.wav_decode(payload)
         if samples.dtype == np.uint8:
@@ -251,7 +279,7 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract over mapInPandas.
 
-    Recognized payloads (PNG/WAV) decode for real via
+    Recognized payloads (PNG/JPEG/WAV) decode for real via
     ``georip_spark.codecs``. For unrecognized formats,
     decode_stub='error' raises NotImplementedError (the marked stub
     for codecs this environment can't implement from scratch);
@@ -273,9 +301,9 @@ def extract_features(
                 if arr is None:
                     if decode_stub == "error":
                         raise NotImplementedError(
-                            "payload is not PNG/WAV; decoding other formats "
-                            "requires codec libraries (PIL/ffmpeg) not "
-                            "present in this environment"
+                            "payload is not PNG/JPEG/WAV; video and other "
+                            "inter-frame formats require codec libraries "
+                            "(ffmpeg) not present in this environment"
                         )
                     arr = _fake_decode(payload, meta)
                 bands = np.array_split(arr.ravel(), n_features)

@@ -72,14 +72,23 @@ def test_sample_frames(media):
 
 
 def test_real_payloads_are_valid_media(real_media):
+    from georip_spark import jpeg
+
     rows = real_media.collect()
     kinds = set()
+    img_kinds = set()
     for r in rows:
         payload = bytes(r["payload"])
         mt = r["meta"]["media_type"]
         if mt == "image":
-            assert codecs.sniff(payload) == "png"
-            img = codecs.png_decode(payload)
+            kind = codecs.sniff(payload)
+            assert kind in ("png", "jpeg")
+            img_kinds.add(kind)
+            img = (
+                codecs.png_decode(payload)
+                if kind == "png"
+                else jpeg.jpeg_decode(payload)
+            )
             assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
         elif mt == "audio":
             assert codecs.sniff(payload) == "wav"
@@ -90,6 +99,7 @@ def test_real_payloads_are_valid_media(real_media):
             assert codecs.sniff(payload) is None
         kinds.add(mt)
     assert kinds == {"image", "audio", "video"}
+    assert img_kinds == {"png", "jpeg"}  # both image codecs exercised
 
 
 def test_extract_features_real_decode(real_media):
@@ -143,6 +153,15 @@ def test_media_meta_cols_jvm_parse(real_media):
             assert r["media_sample_rate"] == m["sample_rate"]
             assert r["media_channels"] == m["n_channels"]
             assert r["media_bit_depth"] == m["bits"]
+        elif kind == "jpeg":
+            # JVM parse sniffs the magic only (SOF0 floats behind
+            # variable-length segments); dims come from the python
+            # parse, asserted here for the same payload
+            from georip_spark import jpeg
+
+            assert r["media_w"] is None and r["media_h"] is None
+            m = jpeg.jpeg_meta(payload)
+            assert m["width"] > 0 and m["height"] > 0 and m["channels"] == 3
 
 
 def test_media_meta_cols_plan_is_jvm_only(real_media):
@@ -155,19 +174,40 @@ def test_media_meta_cols_plan_is_jvm_only(real_media):
 
 
 def test_resize_image_real(real_media):
+    from georip_spark import jpeg
     from georip_spark.operators.multimodal import resize_image
 
     out = {r["media_ref"]: r for r in resize_image(real_media, max_side=32).collect()}
+    jpeg_checked = 0
     for r in real_media.collect():
         res = out[r["media_ref"]]
+        src_payload = bytes(r["payload"])
+        kind = codecs.sniff(src_payload)
         if r["meta"]["media_type"] != "image":
-            assert bytes(res["payload"]) == bytes(r["payload"])  # passthrough
+            assert bytes(res["payload"]) == src_payload  # passthrough
             continue
-        img = codecs.png_decode(bytes(res["payload"]))
+        if kind == "png":
+            img = codecs.png_decode(bytes(res["payload"]))
+            src = codecs.png_decode(src_payload)
+        else:
+            img = jpeg.jpeg_decode(bytes(res["payload"]))
+            src = jpeg.jpeg_decode(src_payload)
+            jpeg_checked += 1
         assert res["target_h"] == img.shape[0] and res["target_w"] == img.shape[1]
         assert max(img.shape[:2]) <= 32
         # nearest-neighbor: every resampled pixel exists in the source
-        src = codecs.png_decode(bytes(r["payload"]))
         ys = (np.arange(res["target_h"]) * src.shape[0]) // res["target_h"]
         xs = (np.arange(res["target_w"]) * src.shape[1]) // res["target_w"]
-        np.testing.assert_array_equal(img, src[ys][:, xs])
+        expect = src[ys][:, xs]
+        if kind == "png":
+            np.testing.assert_array_equal(img, expect)
+        else:
+            # jpeg re-encode at q90 is lossy, and a pure-noise source
+            # is jpeg's worst case (all high-frequency energy, which
+            # quantization removes — measured ≈36 mean abs here).
+            # Uncorrelated uint8 pairs would read ≈85, so 50 still
+            # proves the resample indexed the right source pixels.
+            assert codecs.sniff(bytes(res["payload"])) == "jpeg"
+            err = np.abs(img.astype(int) - expect.astype(int)).mean()
+            assert err < 50.0
+    assert jpeg_checked > 0
