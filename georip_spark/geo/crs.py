@@ -13,11 +13,12 @@
   §4.3.3.2): geodetic → geocentric ECEF → Helmert → WGS84 ECEF →
   geodetic (Bowring's closed form). This is exactly what pyproj/PROJ
   fall back to when no distortion grid is installed, with the same
-  published accuracy (OSGB36 ~2 m, ED50 ~10 m; ETRS89 ≡ WGS84 at
-  this accuracy). The grid-refined paths (OSTN15, NADCON) need data
-  files this sandbox doesn't ship, so codes whose ONLY published
-  transform is a grid (e.g. NAD27) still raise a clear ValueError —
-  a silent wrong-datum transform is worse than none.
+  published accuracy (OSGB36 ~2 m, ED50 ~10 m, NAD27 ~5 m CONUS;
+  ETRS89 and NAD83 ≡ WGS84 at this accuracy). The grid-refined paths
+  (OSTN15, NADCON) need data files this sandbox doesn't ship, so
+  datums whose BEST published transform is a grid (NAD27) require the
+  caller's explicit ``allow_approx=True`` — a silently-approximate
+  transform is worse than none.
 - Geographic WGS84 is the hub: any supported pair composes
   src → src-datum geographic → (Helmert) → WGS84 → (Helmert⁻¹) →
   dst-datum geographic → dst projection.
@@ -45,6 +46,7 @@ _ELLIPSOIDS: dict[str, tuple[float, float]] = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "airy1830": (6377563.396, 1.0 / 299.3249646),
     "intl1924": (6378388.0, 1.0 / 297.0),
+    "clarke1866": (6378206.4, 1.0 / 294.978698214),   # EPSG:7008
 }
 
 # Datum → (ellipsoid, TOWGS84 position-vector params or None).
@@ -60,7 +62,21 @@ _DATUMS: dict[str, tuple[str, tuple[float, ...] | None]] = {
                 -20.4894)),
     # EPSG transformation 1133 (ED50 → WGS84 mean European), ~10 m.
     "ED50": ("intl1924", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
+    # NAD83 ≡ WGS84 within the Helmert accuracy class (EPSG:1188,
+    # 0/0/0, ~1-2 m — same treatment EPSG gives ETRS89).
+    "NAD83": ("GRS80", None),
+    # EPSG transformation 1173 (NAD27 → WGS84 (1), CONUS geocentric
+    # translation), ~5 m. The grid-refined path (NADCON) needs data
+    # files this sandbox doesn't ship, so this datum is OPT-IN via
+    # transform_xy(..., allow_approx=True) — a silently-approximate
+    # transform would contradict the reference's pyproj+grids result.
+    "NAD27": ("clarke1866", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
 }
+
+# Datums whose best published transform is a distortion grid; the
+# Helmert params above are the EPSG grid-free fallback and require
+# the caller's explicit allow_approx=True.
+_APPROX_DATUMS = frozenset({"NAD27"})
 
 # WGS84 kept as module constants: the UTM fast path and Web Mercator
 # use them directly.
@@ -271,7 +287,7 @@ def _shift_datum(lon, lat, src_datum: str, dst_datum: str):
 # EPSG code registry and the composing hub.
 # ---------------------------------------------------------------- #
 _GEOGRAPHIC_CODES = {4326: "WGS84", 4258: "ETRS89", 4277: "OSGB36",
-                     4230: "ED50"}
+                     4230: "ED50", 4269: "NAD83", 4267: "NAD27"}
 
 # OSGB36 / British National Grid (EPSG:27700) grid constants —
 # EPSG registry / OS "A guide to coordinate systems in Great Britain".
@@ -298,12 +314,15 @@ def _decode(crs: str) -> tuple[str, dict | str | None]:
         return "ETRS89", _utm_params(code - 25800, True, "GRS80")
     if 23028 <= code <= 23038:          # ED50 / UTM 28N–38N
         return "ED50", _utm_params(code - 23000, True, "intl1924")
+    if 26901 <= code <= 26923:          # NAD83 / UTM 1N–23N
+        return "NAD83", _utm_params(code - 26900, True, "GRS80")
+    if 26701 <= code <= 26722:          # NAD27 / UTM 1N–22N
+        return "NAD27", _utm_params(code - 26700, True, "clarke1866")
     raise ValueError(
         f"unsupported CRS for dependency-free transform: {crs} "
-        "(supported: EPSG:4326/4258/4277/4230 geographic, EPSG:3857, "
-        "UTM EPSG:326xx/327xx/258xx/230xx, EPSG:27700; codes whose "
-        "only published transform is a distortion grid, e.g. NAD27, "
-        "are rejected rather than silently approximated)"
+        "(supported: EPSG:4326/4258/4277/4230/4269/4267 geographic, "
+        "EPSG:3857, UTM EPSG:326xx/327xx/258xx/230xx/269xx/267xx, "
+        "EPSG:27700)"
     )
 
 
@@ -321,14 +340,30 @@ def _epsg_code(crs: str) -> int:
         ) from None
 
 
-def transform_xy(x, y, src_crs: str, dst_crs: str):
+def transform_xy(x, y, src_crs: str, dst_crs: str, allow_approx: bool = False):
     """Transform point arrays between any two supported CRSs,
     composing src → geographic → (Helmert datum shift) → geographic →
-    dst. Identity short-circuits."""
+    dst. Identity short-circuits.
+
+    ``allow_approx``: datums whose BEST published transform is a
+    distortion grid this sandbox can't ship (NAD27 → NADCON) are
+    rejected by default; pass True to accept the EPSG grid-free
+    Helmert fallback at its published accuracy (NAD27: EPSG:1173,
+    ~5 m CONUS) — the same fallback pyproj/PROJ uses with no grids
+    installed."""
     if str(src_crs) == str(dst_crs):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     datum_s, proj_s = _decode(src_crs)
     datum_d, proj_d = _decode(dst_crs)
+    if not allow_approx:
+        for d, crs in ((datum_s, src_crs), (datum_d, dst_crs)):
+            if d in _APPROX_DATUMS:
+                raise ValueError(
+                    f"{crs} ({d}) transforms exactly only through a "
+                    "distortion grid (NADCON) not available here; pass "
+                    "allow_approx=True to accept the EPSG grid-free "
+                    "Helmert fallback (~5 m published accuracy)"
+                )
     if datum_s == datum_d and proj_s == proj_d:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if proj_s is None:

@@ -227,15 +227,10 @@ def repair_geometry(geom_wkt: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@pandas_udf(T.StringType())
-def transform_geometry(
-    geom_wkt: pd.Series, src_crs: pd.Series, dst_crs: pd.Series
+def _transform_geometry_impl(
+    geom_wkt: pd.Series, src_crs: pd.Series, dst_crs: pd.Series,
+    allow_approx: bool,
 ) -> pd.Series:
-    """CRS alignment column op (reference `to_crs`,
-    georip/geoprocessing/utils.py:425-427): every ring coordinate is
-    transformed src→dst (UTM zones via geo/crs.py numpy transverse
-    mercator). Identity CRSs short-circuit. One vectorized numpy pass
-    per geometry inside the Arrow batch."""
     from georip_spark.geo import crs as C
 
     mps = _memo_parse(geom_wkt)
@@ -246,13 +241,40 @@ def transform_geometry(
             continue
         moved = [
             [
-                np.column_stack(C.transform_xy(r[:, 0], r[:, 1], s, d))
+                np.column_stack(
+                    C.transform_xy(r[:, 0], r[:, 1], s, d,
+                                   allow_approx=allow_approx)
+                )
                 for r in poly
             ]
             for poly in mp
         ]
         out.append(wkt.to_wkt(moved))
     return pd.Series(out)
+
+
+@pandas_udf(T.StringType())
+def transform_geometry(
+    geom_wkt: pd.Series, src_crs: pd.Series, dst_crs: pd.Series
+) -> pd.Series:
+    """CRS alignment column op (reference `to_crs`,
+    georip/geoprocessing/utils.py:425-427): every ring coordinate is
+    transformed src→dst (UTM zones via geo/crs.py numpy transverse
+    mercator). Identity CRSs short-circuit. One vectorized numpy pass
+    per geometry inside the Arrow batch. Grid-only datums (NAD27)
+    raise here — use :data:`transform_geometry_approx` to accept the
+    EPSG grid-free Helmert fallback at its published accuracy."""
+    return _transform_geometry_impl(geom_wkt, src_crs, dst_crs, False)
+
+
+@pandas_udf(T.StringType())
+def transform_geometry_approx(
+    geom_wkt: pd.Series, src_crs: pd.Series, dst_crs: pd.Series
+) -> pd.Series:
+    """:data:`transform_geometry` with ``allow_approx=True`` — accepts
+    datums whose best published transform is a distortion grid this
+    environment can't ship (NAD27 → ~5 m EPSG:1173 Helmert)."""
+    return _transform_geometry_impl(geom_wkt, src_crs, dst_crs, True)
 
 
 # The functions are pure, but marking them non-deterministic stops
@@ -265,6 +287,7 @@ clip_and_normalize = clip_and_normalize.asNondeterministic()
 geom_bounds = geom_bounds.asNondeterministic()
 repair_geometry = repair_geometry.asNondeterministic()
 transform_geometry = transform_geometry.asNondeterministic()
+transform_geometry_approx = transform_geometry_approx.asNondeterministic()
 
 
 def geometry_stats(df, geom_col: str = "geometry", engine: str = "jvm"):

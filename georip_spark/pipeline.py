@@ -136,19 +136,25 @@ def from_docs(
 
 
 def align_regions_to_crs(
-    regions: DataFrame, target_crs: str, crs_col: str = "crs"
+    regions: DataFrame, target_crs: str, crs_col: str = "crs",
+    allow_approx: bool = False,
 ) -> DataFrame:
     """CRS alignment before any spatial op (the reference's
     `gdf.to_crs(raster_crs)`, georip/geoprocessing/utils.py:425-427,
     georip/datasets/utils.py:249-251): rewrite geometries whose CRS
     differs from the raster's, set the crs column to the target.
     Identity rows short-circuit inside the UDF (no coordinate math),
-    so mixed-CRS inputs only pay for the rows that actually move."""
+    so mixed-CRS inputs only pay for the rows that actually move.
+    ``allow_approx=True`` accepts grid-only datums (NAD27) at the
+    EPSG Helmert-fallback accuracy (see geo/crs.py)."""
+    udf = (
+        geom_udfs.transform_geometry_approx
+        if allow_approx
+        else geom_udfs.transform_geometry
+    )
     return regions.withColumn(
         "geometry",
-        geom_udfs.transform_geometry(
-            F.col("geometry"), F.col(crs_col), F.lit(target_crs)
-        ),
+        udf(F.col("geometry"), F.col(crs_col), F.lit(target_crs)),
     ).withColumn(crs_col, F.lit(target_crs))
 
 

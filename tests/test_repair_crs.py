@@ -162,6 +162,32 @@ class TestCrs:
         a1 = abs(kernels.ring_area(moved))
         assert a1 == pytest.approx(a0, rel=5e-3)
 
+    def test_transform_geometry_nad27_opt_in(self, spark):
+        from pyspark.sql import functions as F
+
+        from georip_spark.operators.geom_udfs import (
+            transform_geometry, transform_geometry_approx)
+        from georip_spark.pipeline import align_regions_to_crs
+
+        wkt_in = ("POLYGON ((-100 40, -99.99 40, -99.99 40.01, "
+                  "-100 40.01, -100 40))")
+        df = spark.createDataFrame(
+            [("r1", wkt_in, "EPSG:4267")], "rid string, geometry string, crs string"
+        )
+        # strict UDF refuses the grid-only datum
+        with pytest.raises(Exception, match="allow_approx"):
+            df.select(transform_geometry(
+                "geometry", "crs", F.lit("EPSG:4326"))).collect()
+        # approx UDF (and the pipeline flag) accept it and move ~10-100 m
+        got = align_regions_to_crs(
+            df, "EPSG:4326", allow_approx=True).collect()[0]
+        assert got["crs"] == "EPSG:4326"
+        moved = W.parse_wkt(got["geometry"])[0][0]
+        orig = W.parse_wkt(wkt_in)[0][0]
+        d = np.hypot((moved[:, 0] - orig[:, 0]) * 111_000 * np.cos(np.deg2rad(40)),
+                     (moved[:, 1] - orig[:, 1]) * 111_000)
+        assert np.all(d > 5.0) and np.all(d < 300.0)
+
 
 class TestWebMercator:
     def test_known_values(self):
@@ -203,11 +229,60 @@ class TestWebMercator:
         assert xu[0] == xd[0] and yu[0] == yd[0]
 
     def test_unsupported_raises(self):
-        # NAD27's only published transform is a distortion grid
-        # (NADCON) — it must raise, not silently approximate
+        # a code with no registered decode still raises
         with pytest.raises(ValueError, match="unsupported CRS"):
             C.transform_xy(np.asarray([0.0]), np.asarray([0.0]),
+                           "EPSG:2154", "EPSG:3857")
+
+    def test_nad27_requires_explicit_approx_opt_in(self):
+        # NAD27's BEST published transform is a distortion grid
+        # (NADCON) — by default it must raise, not silently fall back
+        # to the ~5 m Helmert
+        with pytest.raises(ValueError, match="allow_approx"):
+            C.transform_xy(np.asarray([-100.0]), np.asarray([40.0]),
                            "EPSG:4267", "EPSG:3857")
+
+    def test_nad27_helmert_fallback_opt_in(self):
+        # With the opt-in: EPSG:1173 geocentric translation. The
+        # datum shift in CONUS is tens of metres; the roundtrip
+        # through the exact inverse is lossless.
+        lon = np.asarray([-100.0, -122.0, -75.0])
+        lat = np.asarray([40.0, 37.0, 43.0])
+        lon_w, lat_w = C.transform_xy(lon, lat, "EPSG:4267", "EPSG:4326",
+                                      allow_approx=True)
+        # ~10-100 m shift expected (1 deg lat ≈ 111 km)
+        d = np.hypot((lon_w - lon) * 111_000 * np.cos(np.deg2rad(lat)),
+                     (lat_w - lat) * 111_000)
+        assert np.all(d > 5.0) and np.all(d < 300.0)
+        lon2, lat2 = C.transform_xy(lon_w, lat_w, "EPSG:4326", "EPSG:4267",
+                                    allow_approx=True)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_nad27_utm_is_tm_on_clarke1866(self):
+        # NAD27 / UTM 14N projection = the TM kernel on Clarke 1866
+        lon = np.asarray([-99.0])
+        lat = np.asarray([35.0])
+        e, n = C.transform_xy(lon, lat, "EPSG:4267", "EPSG:26714",
+                              allow_approx=True)
+        a, f = C._ELLIPSOIDS["clarke1866"]
+        ed, nd = C.tm_forward(lon, lat, a=a, f=f, k0=0.9996, lat0=0.0,
+                              lon0=-99.0, fe=500000.0, fn=0.0)
+        assert abs(e[0] - ed[0]) < 1e-6 and abs(n[0] - nd[0]) < 1e-6
+
+    def test_nad83_aligned_with_wgs84(self):
+        # NAD83 ≡ WGS84 at Helmert accuracy (EPSG:1188 is 0/0/0):
+        # geographic coords pass through unchanged, and NAD83/UTM vs
+        # WGS84/UTM differ only by the GRS80-vs-WGS84 flattening
+        # (sub-mm)
+        lon = np.asarray([-122.3])
+        lat = np.asarray([47.6])
+        lon2, lat2 = C.transform_xy(lon, lat, "EPSG:4269", "EPSG:4326")
+        np.testing.assert_allclose([lon2[0], lat2[0]], [lon[0], lat[0]],
+                                   atol=1e-12)
+        e83, n83 = C.transform_xy(lon, lat, "EPSG:4269", "EPSG:26910")
+        ew, nw = C.transform_xy(lon, lat, "EPSG:4326", "EPSG:32610")
+        assert abs(e83[0] - ew[0]) < 1e-3 and abs(n83[0] - nw[0]) < 1e-3
 
     def test_pipeline_mixed_3857_and_utm(self, spark):
         """VERDICT r2 #5: regions arriving in EPSG:3857 align onto a
