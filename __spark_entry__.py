@@ -1786,6 +1786,81 @@ def q38_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k similarity search — the
+    cell-partitioned ANN scale path next to q34's hash-bucketed LSH
+    (round 5; `similarity.ann_topk_ivf`). Coarse quantizer = the 16
+    corpus vectors with smallest vec_id (the deterministic
+    random-sample bootstrap of IVF — k-means refinement is
+    data-dependent and not oracle-expressible; this is). Queries are
+    vec_id 0..4, each probing its 4 nearest cells; corpus→cell
+    assignment is scan-stage column math (array_max over centroid
+    structs — no shuffle, no Python); candidates are scored with
+    exact integer dot/norms² and ranked by the bit-portable double
+    dot_q/(√nq2_q·√nc2_q), ties toward the smaller id on BOTH the
+    assignment and the final rank (q24's lesson). DuckDB recomputes
+    assignment and probes from the same integer arithmetic via
+    windowed argmin. Measured recall@10: 0.91 on this corpus at
+    n_probe=4/16; ≥0.9 asserted on the clustered fixture
+    (tests/test_similarity.py::test_ivf_recall_clustered)."""
+    from georip_spark.operators.similarity import ann_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return (
+        ann_topk_ivf(
+            e, q, k=10, n_centroids=16, n_probe=4, exclude_self=True
+        )
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "dot_q", "nq2_q", "nc2_q",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+_Q40_SQL = """
+WITH c AS (SELECT vec_id,
+        list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qe
+    FROM embeddings),
+cn AS (SELECT vec_id, qe,
+        CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT) AS n2
+    FROM c),
+cents AS (SELECT vec_id AS cid, qe AS cv, n2 AS ncent2
+    FROM cn ORDER BY vec_id LIMIT 16),
+asg AS (SELECT a.vec_id, a.qe, a.n2, k.cid,
+        CAST(list_sum(list_transform(list_zip(a.qe, k.cv),
+            x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
+        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(k.ncent2 AS DOUBLE))) AS cosd
+    FROM cn a CROSS JOIN cents k),
+cell AS (SELECT vec_id, qe, n2, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosd DESC, cid ASC) AS r FROM asg)
+    WHERE r = 1),
+probes AS (SELECT vec_id AS q_id, qe AS qq, n2 AS nq2, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosd DESC, cid ASC) AS r FROM asg WHERE vec_id < 5)
+    WHERE r <= 4),
+cand AS (SELECT p.q_id, s.vec_id,
+        CAST(list_sum(list_transform(list_zip(p.qq, s.qe),
+            x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS dot_q,
+        p.nq2 AS nq2_q, s.n2 AS nc2_q
+    FROM probes p JOIN cell s USING (cell)
+    WHERE s.vec_id <> p.q_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY CAST(dot_q AS DOUBLE) / (sqrt(CAST(nq2_q AS DOUBLE)) * sqrt(CAST(nc2_q AS DOUBLE))) DESC,
+                 vec_id ASC) AS rank
+    FROM cand)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, dot_q, nq2_q, nc2_q
+FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
 def q39_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for the from-scratch baseline JPEG codec (round-5;
     `georip_spark/jpeg.py`, ITU-T T.81). Per doc i ∈ [0, 240): two
@@ -1944,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_stream_exact_dedup": q37_stream_exact_dedup,
         "q38_stream_tiles": q38_stream_tiles,
         "q39_jpeg_roundtrip": q39_jpeg_roundtrip,
+        "q40_ann_topk_ivf": q40_ann_topk_ivf,
     }
 
 
@@ -1988,4 +2064,5 @@ def oracle_sql() -> dict[str, str]:
         "q37_stream_exact_dedup": _Q37_SQL,
         "q38_stream_tiles": _Q29_SQL,
         "q39_jpeg_roundtrip": _Q39_SQL,
+        "q40_ann_topk_ivf": _Q40_SQL,
     }

@@ -175,6 +175,127 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    scale: int = QUANT_SCALE,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the cell-partitioned ANN scale path next to ``ann_topk_lsh``'s
+    hash-bucketed one.
+
+    Coarse quantizer (disclosed): the ``n_centroids`` corpus vectors
+    with the smallest ids — the standard random-sample bootstrap of
+    IVF *before* k-means refinement (Lloyd iterations are
+    data-dependent and not oracle-expressible; a deterministic
+    centroid set is, which is what makes this path driver-gateable).
+    Collected driver-side (one TakeOrdered over ≪ the corpus) and
+    folded into the assignment expression as literals.
+
+    Plan shape at 100 TB: corpus→cell assignment is scan-stage column
+    math (``array_max`` over ``n_centroids`` struct(cos, −cid)
+    expressions — no shuffle, no Python, exactly like the LSH
+    signature stage); the probe side (|Q|·n_probe rows) is broadcast,
+    so the cell join keeps the corpus partitioning; the only shuffle
+    is the per-query rank window over candidates (≈ n_probe/n_centroids
+    of the corpus per query). A corpus row lives in exactly ONE cell,
+    so no candidate dedup is needed (unlike multi-table LSH).
+
+    Engine-portability: assignment and ranking order by the double
+    CAST(dot AS DOUBLE)/(√nrow2·√ncent2) computed from exact integer
+    inputs — bit-identical on any engine (q24's lesson) — with ties
+    broken toward the smaller centroid/corpus id. The output carries
+    the exact longs.
+
+    Recall trade (disclosed): a true neighbor assigned to a cell the
+    query doesn't probe is missed; raising ``n_probe`` trades scan
+    fraction for recall (jobs/ann_recall.py records the measured
+    curve next to the LSH table)."""
+    cq = corpus.select(
+        F.col(id_col), quantize(F.col(vec_col), scale).alias("_cq")
+    )
+    cents = (
+        cq.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("_cq").alias("_cv"))
+        .collect()
+    )
+    cent_rows = [(int(r["cid"]), [int(v) for v in r["_cv"]]) for r in cents]
+
+    def cos_struct(vec: Column, n2: Column, cid: int, cv: list[int]):
+        lit = F.array(*[F.lit(v).cast("long") for v in cv])
+        n2c = sum(v * v for v in cv)
+        cosd = int_dot(vec, lit).cast("double") / (
+            F.sqrt(n2.cast("double")) * F.sqrt(F.lit(float(n2c)))
+        )
+        return F.struct(
+            cosd.alias("s"),
+            F.lit(-cid).cast("long").alias("ncid"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+
+    # corpus: argmax over the centroid structs = (cos desc, cid asc)
+    c = cq.withColumn("_n2", int_dot(F.col("_cq"), F.col("_cq"))).select(
+        F.col(id_col),
+        F.col("_cq"),
+        F.array_max(
+            F.array(*[
+                cos_struct(F.col("_cq"), F.col("_n2"), cid, cv)
+                for cid, cv in cent_rows
+            ])
+        )["cid"].alias("cell"),
+    )
+    # queries: top-n_probe cells = the leading slice of the structs
+    # sorted descending — |Q| rows, stays broadcast-side
+    q = queries.select(
+        F.col(q_id_col), quantize(F.col(q_vec_col), scale).alias("_qq")
+    ).withColumn("_n2", int_dot(F.col("_qq"), F.col("_qq")))
+    qp = q.select(
+        F.col(q_id_col),
+        F.col("_qq"),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.array(*[
+                            cos_struct(F.col("_qq"), F.col("_n2"), cid, cv)
+                            for cid, cv in cent_rows
+                        ])
+                    )
+                ),
+                1,
+                n_probe,
+            )["cid"]
+        ).alias("cell"),
+    )
+    cand = c.join(F.broadcast(qp), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(q_id_col))
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        int_dot(F.col("_qq"), F.col("_cq")).alias("dot_q"),
+        int_dot(F.col("_qq"), F.col("_qq")).alias("nq2_q"),
+        int_dot(F.col("_cq"), F.col("_cq")).alias("nc2_q"),
+    )
+    cosd = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("nq2_q").cast("double"))
+        * F.sqrt(F.col("nc2_q").cast("double"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(cosd.desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_candidates(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,5 +1,5 @@
 """Measure ANN recall@k for the q34 multi-probe multi-table LSH
-(VERDICT r4 #4).
+(VERDICT r4 #4) and the q40 IVF path (round 5).
 
 For each configuration (n_planes b, n_tables L, hamming level), runs
 ``ann_topk_lsh`` and ``brute_force_topk`` over the SAME corpus/query
@@ -44,6 +44,7 @@ from pyspark.sql import functions as F  # noqa: E402
 import georip_spark  # noqa: E402
 from georip_spark.operators.similarity import (  # noqa: E402
     ann_candidates,
+    ann_topk_ivf,
     ann_topk_lsh,
     brute_force_topk,
 )
@@ -115,6 +116,32 @@ def measure(spark, corpus, queries, k: int, n_planes: int, dim: int,
     }
 
 
+def measure_ivf(spark, corpus, queries, k: int,
+                n_centroids: int, n_probe: int) -> dict:
+    corpus = corpus.cache()
+    n_corpus = corpus.count()
+    exact = brute_force_topk(corpus, queries, k).select("q_id", "vec_id")
+    ann = ann_topk_ivf(
+        corpus, queries, k, n_centroids=n_centroids, n_probe=n_probe
+    ).select("q_id", "vec_id")
+    n_q = queries.count()
+    hit = exact.join(ann, ["q_id", "vec_id"]).count()
+    corpus.unpersist()
+    return {
+        "k": k,
+        "method": "ivf",
+        "n_centroids": n_centroids,
+        "n_probe": n_probe,
+        "n_corpus": n_corpus,
+        "n_queries": n_q,
+        "recall_at_k": round(hit / (k * n_q), 4),
+        # IVF candidates per query ≈ the probed cells' population;
+        # expectation n_probe/n_centroids of the corpus (cells are
+        # sample-seeded, so sizes vary)
+        "cand_frac_expected": round(n_probe / n_centroids, 4),
+    }
+
+
 CONFIGS = (
     # (n_planes, n_tables, hamming2) — judge-requested single-table
     # sweep {12,16,20}, then the OR-construction repairs
@@ -124,6 +151,14 @@ CONFIGS = (
     (12, 4, False),
     (12, 6, False),
     (16, 4, True),
+)
+
+IVF_CONFIGS = (
+    # (n_centroids, n_probe) — the q40 gate shape, then wider probes
+    (16, 2),
+    (16, 4),
+    (32, 4),
+    (32, 6),
 )
 
 
@@ -147,6 +182,10 @@ def main() -> None:
         for n_planes, n_tables, h2 in CONFIGS:
             r = measure(spark, corpus, queries, k, n_planes, dim,
                         n_tables=n_tables, hamming2=h2)
+            r["corpus"] = name
+            print(json.dumps(r), flush=True)
+        for n_centroids, n_probe in IVF_CONFIGS:
+            r = measure_ivf(spark, corpus, queries, k, n_centroids, n_probe)
             r["corpus"] = name
             print(json.dumps(r), flush=True)
 

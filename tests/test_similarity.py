@@ -143,3 +143,39 @@ class TestAnnRecall:
         hits = exact.join(ann, ["q_id", "vec_id"]).count()
         recall = hits / (k * n_q)
         assert recall >= 0.9, f"recall@10 = {recall}"
+
+    def test_ivf_recall_clustered(self, spark):
+        """Recall gate for the IVF cell-partitioned scale path
+        (round 5): same deterministic clustered corpus as the LSH
+        gate; with 32 sample centroids and n_probe=6 the inverted
+        file must recover ≥ 0.9 of the exact top-10 while scanning
+        ≈ n_probe/n_centroids of the corpus. Deterministic fixture →
+        measured recall is a constant."""
+        import numpy as np
+
+        from georip_spark.operators.similarity import ann_topk_ivf
+
+        dim, n, n_q, k = 64, 2000, 50, 10
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((20, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        assign = rng.integers(0, 20, n)
+        pts = centers[assign] + 0.05 * rng.standard_normal((n, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        qs = centers[assign[:n_q]] + 0.05 * rng.standard_normal((n_q, dim))
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        corpus = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        queries = spark.createDataFrame(
+            [(int(i), [float(x) for x in qs[i]]) for i in range(n_q)],
+            "q_id long, q_vec array<float>",
+        )
+        exact = brute_force_topk(corpus, queries, k).select("q_id", "vec_id")
+        ann = ann_topk_ivf(
+            corpus, queries, k, n_centroids=32, n_probe=6
+        ).select("q_id", "vec_id")
+        hits = exact.join(ann, ["q_id", "vec_id"]).count()
+        recall = hits / (k * n_q)
+        assert recall >= 0.9, f"ivf recall@10 = {recall}"
