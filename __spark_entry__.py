@@ -1786,6 +1786,115 @@ def q38_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the from-scratch MJPEG-AVI video codec
+    (round 5; `georip_spark/avi.py` + `jpeg.py`) and the frame-sample
+    surface. Per doc i ∈ [0, 200): an AVI of nf = 2 + (i·5 mod 7)
+    flat grayscale frames — frame j's pixel value v_ij =
+    2·((i·13 + j·29) mod 128) is even, so at quality 50 each frame's
+    DC/quantizer ratio is integral and the JPEG roundtrip is
+    bit-exact (the q39 argument, per frame). Executor-side: encode
+    the container, decode every 2nd frame via the RIFF walk (skipped
+    frames never JPEG-decode), and emit the count and the exact sum
+    over sampled frames — which DuckDB computes closed-form with no
+    codec. The payload also flows through `media_meta_cols`' pure-JVM
+    header parse (magic + canonical-layout MainAVIHeader at byte 32:
+    dims, total frames), pinning the emitted container structure.
+    Reference parity: the reference reads no video; this covers the
+    engine's multimodal frame-sampling surface with a real container
+    format and zero native dependencies."""
+    import numpy as _np
+    import pandas as _pd
+
+    from georip_spark import avi as _avi
+    from georip_spark.operators.multimodal import media_meta_cols
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    p = (
+        d.select("doc_id").orderBy("doc_id").limit(200)
+        .withColumn("i", F.row_number().over(w) - 1)
+        .select(
+            "doc_id",
+            (F.lit(8) + (F.col("i") * 7) % 25).cast("int").alias("mw"),
+            (F.lit(8) + (F.col("i") * 11) % 21).cast("int").alias("mh"),
+            (F.lit(2) + (F.col("i") * 5) % 7).cast("int").alias("nf"),
+            F.col("i").cast("int").alias("i"),
+        )
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads, n_sampled, sums = [], [], []
+            for mw, mh, nf, i in zip(
+                pdf["mw"].values, pdf["mh"].values,
+                pdf["nf"].values, pdf["i"].values,
+            ):
+                mw, mh, nf, i = int(mw), int(mh), int(nf), int(i)
+                frames = [
+                    _np.full((mh, mw), 2 * ((i * 13 + j * 29) % 128), _np.uint8)
+                    for j in range(nf)
+                ]
+                payload = _avi.avi_encode_mjpeg(frames, fps=10, quality=50)
+                dec = _avi.avi_decode_frames(payload, every=2)
+                n_sampled.append(len(dec))
+                sums.append(int(sum(int(f.astype(_np.int64).sum()) for f in dec)))
+                payloads.append(payload)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "n_sampled": n_sampled,
+                    "sampled_sum": sums,
+                }
+            )
+
+    decoded = p.mapInPandas(
+        run, "doc_id long, payload binary, n_sampled int, sampled_sum long"
+    )
+    return (
+        media_meta_cols(decoded)
+        .select(
+            "doc_id", "sniffed_type", "media_w", "media_h",
+            "media_n_frames", "n_sampled", "sampled_sum",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q41_SQL = """
+WITH base AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+    FROM documents ORDER BY doc_id LIMIT 200
+),
+p AS (
+    SELECT doc_id, i,
+        8 + (i*7) % 25 AS mw, 8 + (i*11) % 21 AS mh,
+        2 + (i*5) % 7 AS nf
+    FROM base
+),
+fr AS (
+    SELECT doc_id, i, mw, mh, unnest(generate_series(0, nf - 1)) AS j
+    FROM p
+),
+sampled AS (
+    SELECT doc_id,
+        COUNT(*) AS n_sampled,
+        SUM(2 * ((i*13 + j*29) % 128) * mw * mh) AS s
+    FROM fr WHERE j % 2 = 0 GROUP BY doc_id
+)
+SELECT p.doc_id,
+    'avi' AS sniffed_type,
+    CAST(p.mw AS INT) AS media_w,
+    CAST(p.mh AS INT) AS media_h,
+    CAST(p.nf AS INT) AS media_n_frames,
+    CAST(sampled.n_sampled AS INT) AS n_sampled,
+    CAST(sampled.s AS BIGINT) AS sampled_sum
+FROM p JOIN sampled USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
 def q40_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k similarity search — the
     cell-partitioned ANN scale path next to q34's hash-bucketed LSH
@@ -2020,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_stream_tiles": q38_stream_tiles,
         "q39_jpeg_roundtrip": q39_jpeg_roundtrip,
         "q40_ann_topk_ivf": q40_ann_topk_ivf,
+        "q41_mjpeg_frames": q41_mjpeg_frames,
     }
 
 
@@ -2065,4 +2175,5 @@ def oracle_sql() -> dict[str, str]:
         "q38_stream_tiles": _Q29_SQL,
         "q39_jpeg_roundtrip": _Q39_SQL,
         "q40_ann_topk_ivf": _Q40_SQL,
+        "q41_mjpeg_frames": _Q41_SQL,
     }

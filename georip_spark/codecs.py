@@ -394,11 +394,14 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 def sniff(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'png' | 'wav' | 'jpeg' | None."""
+    """Identify a payload by magic bytes:
+    'png' | 'wav' | 'jpeg' | 'avi' | None."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return None

@@ -4,9 +4,10 @@ Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched functions over ``mapInPandas``.
 
-Decode is REAL for PNG images, baseline JPEG images, and WAV audio
-via the from-scratch spec implementations in ``georip_spark.codecs``
-and ``georip_spark.jpeg`` (stdlib zlib + numpy — no native codec
+Decode is REAL for PNG images, baseline JPEG images, WAV audio, and
+MJPEG-AVI video via the from-scratch spec implementations in
+``georip_spark.codecs``, ``georip_spark.jpeg`` and
+``georip_spark.avi`` (stdlib zlib + numpy — no native codec
 libraries needed). Formats that genuinely require codec machinery
 the sandbox lacks (progressive/arithmetic JPEG, MP4/H.264 and all
 inter-frame video) keep the disclosed stub: ``decode_stub='error'``
@@ -34,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from georip_spark import codecs, jpeg
+from georip_spark import avi, codecs, jpeg
 
 MEDIA_META = T.StructType(
     [
@@ -89,9 +90,9 @@ def synth_media_real(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """Like :func:`synth_media` but payloads are REAL encoded media:
     image rows carry a deterministic PNG or baseline JPEG (alternating
     by ref hash, so both image codecs are exercised), audio rows a
-    deterministic 16-bit PCM WAV; video rows keep opaque fake bytes
-    (no from-scratch MP4 — disclosed). Runs in mapInPandas so encode
-    happens executor-side."""
+    deterministic 16-bit PCM WAV, video rows a deterministic MJPEG
+    AVI (``georip_spark.avi``) with ``n_frames`` grayscale frames.
+    Runs in mapInPandas so encode happens executor-side."""
     base = synth_media(df, ref_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,7 +118,14 @@ def synth_media_real(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
                     samples = rng.integers(-32768, 32767, (n, 1), dtype=np.int16)
                     payloads.append(codecs.wav_encode(samples, meta["sample_rate"]))
                 else:
-                    payloads.append(bytes(payload))
+                    frames = [
+                        rng.integers(
+                            0, 256, (meta["height"], meta["width"]),
+                            dtype=np.uint8,
+                        )
+                        for _ in range(meta["n_frames"])
+                    ]
+                    payloads.append(avi.avi_encode_mjpeg(frames, fps=10))
             pdf = pdf.copy()
             pdf["payload"] = payloads
             yield pdf
@@ -146,15 +154,27 @@ def media_meta_cols(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     WAV: RIFF/WAVE magic + the canonical layout with ``fmt `` as the
     first chunk (what every encoder here and virtually all writers
     emit); non-canonical chunk orders fall back to
-    ``extract_features``'s python parse. JPEG: magic only — its SOF0
-    frame header floats behind variable-length segments, so dims stay
-    null here and ``georip_spark.jpeg.jpeg_meta``'s python parse is
-    the dims path. Adds ``sniffed_type``, ``media_w``, ``media_h``,
-    ``media_bit_depth``, ``media_channels``, ``media_sample_rate``."""
+    ``extract_features``'s python parse. AVI (MJPEG): RIFF/'AVI '
+    magic + the canonical layout with LIST-hdrl/avih first (what
+    ``georip_spark.avi`` emits and mainstream muxers write), putting
+    the MainAVIHeader at byte 32 — dims, total frames. JPEG: magic
+    only — its SOF0 frame header floats behind variable-length
+    segments, so dims stay null here and
+    ``georip_spark.jpeg.jpeg_meta``'s python parse is the dims path.
+    Adds ``sniffed_type``, ``media_w``, ``media_h``,
+    ``media_bit_depth``, ``media_channels``, ``media_sample_rate``,
+    ``media_n_frames``."""
     p = F.col(payload_col)
     is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
     is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
         F.hex(F.substring(p, 9, 4)) == "57415645"
+    )
+    # canonical layout: LIST at 13, 'hdrl' at 21 → avih payload at 33
+    is_avi = (
+        (F.hex(F.substring(p, 1, 4)) == "52494646")
+        & (F.hex(F.substring(p, 9, 4)) == "41564920")
+        & (F.hex(F.substring(p, 13, 4)) == "4C495354")
+        & (F.hex(F.substring(p, 21, 4)) == "6864726C")
     )
     is_jpeg = F.hex(F.substring(p, 1, 3)) == "FFD8FF"
     png_color = _le_u(p, 26, 1)
@@ -169,10 +189,17 @@ def media_meta_cols(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "*",
         F.when(is_png, "png")
         .when(is_wav, "wav")
+        .when(is_avi, "avi")
         .when(is_jpeg, "jpeg")
         .alias("sniffed_type"),
-        F.when(is_png, _be_u32(p, 17)).cast("int").alias("media_w"),
-        F.when(is_png, _be_u32(p, 21)).cast("int").alias("media_h"),
+        F.when(is_png, _be_u32(p, 17))
+        .when(is_avi, _le_u(p, 65, 4))
+        .cast("int")
+        .alias("media_w"),
+        F.when(is_png, _be_u32(p, 21))
+        .when(is_avi, _le_u(p, 69, 4))
+        .cast("int")
+        .alias("media_h"),
         F.when(is_png, _le_u(p, 25, 1))
         .when(is_wav, _le_u(p, 35, 2))
         .cast("int")
@@ -182,6 +209,7 @@ def media_meta_cols(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .cast("int")
         .alias("media_channels"),
         F.when(is_wav, _le_u(p, 25, 4)).cast("int").alias("media_sample_rate"),
+        F.when(is_avi, _le_u(p, 49, 4)).cast("int").alias("media_n_frames"),
     )
 
 
@@ -249,17 +277,22 @@ def decode_media(payload: bytes) -> np.ndarray | None:
 
     * PNG → pixel array scaled to [0, 1] by the bit depth's max
     * baseline JPEG → uint8 pixel array scaled to [0, 1]
+    * MJPEG AVI → FIRST frame scaled to [0, 1] (frame-level access
+      goes through :func:`sample_frames_decode`)
     * WAV → (n_frames, n_channels) samples scaled to [-1, 1]
 
-    Returns None for unrecognized formats (video, progressive JPEG …)
-    so callers pick the stub posture. Pure python+numpy, safe inside
-    Arrow workers."""
+    Returns None for unrecognized formats (inter-frame video,
+    progressive JPEG …) so callers pick the stub posture. Pure
+    python+numpy, safe inside Arrow workers."""
     kind = codecs.sniff(payload)
     if kind == "png":
         arr = codecs.png_decode(payload)
         return arr.astype(np.float32) / float(np.iinfo(arr.dtype).max)
     if kind == "jpeg":
         return jpeg.jpeg_decode(payload).astype(np.float32) / 255.0
+    if kind == "avi":
+        frames = avi.avi_decode_frames(payload, limit=1)
+        return frames[0].astype(np.float32) / 255.0 if frames else None
     if kind == "wav":
         samples, _rate = codecs.wav_decode(payload)
         if samples.dtype == np.uint8:
@@ -301,9 +334,10 @@ def extract_features(
                 if arr is None:
                     if decode_stub == "error":
                         raise NotImplementedError(
-                            "payload is not PNG/JPEG/WAV; video and other "
-                            "inter-frame formats require codec libraries "
-                            "(ffmpeg) not present in this environment"
+                            "payload is not PNG/JPEG/WAV/MJPEG-AVI; "
+                            "inter-frame video (MP4/H.264 …) requires "
+                            "codec libraries (ffmpeg) not present in "
+                            "this environment"
                         )
                     arr = _fake_decode(payload, meta)
                 bands = np.array_split(arr.ravel(), n_features)
@@ -346,3 +380,52 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames_decode(media: DataFrame, every: int = 4) -> DataFrame:
+    """REAL frame sampling for MJPEG-AVI payloads: walk the RIFF
+    container (skipped frames are never JPEG-decoded — pointer math
+    only), decode every ``every``-th frame, re-emit it as a lossless
+    PNG so sampled frames compose with the image/chip pipeline.
+    Non-AVI rows produce no frames (the planning-only
+    :func:`sample_frames` covers metadata-level sampling for stub
+    formats). Arrow-batched mapInPandas; payloads never visit the
+    driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"].values, pdf["payload"].values):
+                payload = bytes(payload)
+                if codecs.sniff(payload) != "avi":
+                    continue
+                for i, chunk in avi.avi_iter_frame_chunks(payload):
+                    if i % every:
+                        continue
+                    frame = jpeg.jpeg_decode(chunk)
+                    rows.append(
+                        (
+                            ref,
+                            i,
+                            frame.shape[0],
+                            frame.shape[1],
+                            codecs.png_encode(frame),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "frame_idx", "frame_h", "frame_w", "frame_png"],
+            )
+
+    return media.mapInPandas(run, _FRAMES_SCHEMA)

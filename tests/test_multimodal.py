@@ -90,29 +90,37 @@ def test_real_payloads_are_valid_media(real_media):
                 else jpeg.jpeg_decode(payload)
             )
             assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        elif mt == "video":
+            from georip_spark import avi
+
+            assert codecs.sniff(payload) == "avi"
+            m = avi.avi_meta(payload)
+            assert m["n_frames"] == r["meta"]["n_frames"]
+            assert (m["width"], m["height"]) == (
+                r["meta"]["width"], r["meta"]["height"]
+            )
+            frames = avi.avi_decode_frames(payload)
+            assert len(frames) == m["n_frames"]
+            assert frames[0].shape == (m["height"], m["width"])
         elif mt == "audio":
             assert codecs.sniff(payload) == "wav"
             samples, rate = codecs.wav_decode(payload)
             assert rate == r["meta"]["sample_rate"]
             assert samples.shape == (rate // 100, 1)
-        else:
-            assert codecs.sniff(payload) is None
         kinds.add(mt)
     assert kinds == {"image", "audio", "video"}
     assert img_kinds == {"png", "jpeg"}  # both image codecs exercised
 
 
 def test_extract_features_real_decode(real_media):
-    """Image/audio rows feature-extract from the REAL decoded pixels/
-    samples — verified by recomputing locally from the payload."""
+    """Every row (image, audio, AND video since the MJPEG codec)
+    feature-extracts from the REAL decoded pixels/samples — verified
+    by recomputing locally from the payload."""
     from georip_spark.operators.multimodal import decode_media, extract_features
 
     out = {r["media_ref"]: r for r in extract_features(real_media, n_features=4).collect()}
     checked = 0
     for r in real_media.collect():
-        mt = r["meta"]["media_type"]
-        if mt == "video":
-            continue
         arr = decode_media(bytes(r["payload"]))
         assert arr is not None
         expect = [float(b.mean()) for b in np.array_split(arr.ravel(), 4)]
@@ -122,15 +130,21 @@ def test_extract_features_real_decode(real_media):
     assert checked > 0
 
 
-def test_error_stub_passes_recognized_formats(real_media):
-    """decode_stub='error' only raises for UNRECOGNIZED payloads, so a
-    PNG/WAV-only corpus decodes fine under the strict posture."""
-    from georip_spark.operators.multimodal import extract_features
+def test_error_stub_passes_recognized_formats(real_media, spark):
+    """decode_stub='error' only raises for UNRECOGNIZED payloads: the
+    whole real corpus (PNG/JPEG/WAV/MJPEG-AVI) decodes under the
+    strict posture; a fake inter-frame payload still raises."""
+    from georip_spark.operators.multimodal import extract_features, synth_media
 
-    png_wav = real_media.filter(F.col("meta.media_type") != "video")
-    assert extract_features(png_wav, decode_stub="error").count() == png_wav.count()
+    assert (
+        extract_features(real_media, decode_stub="error").count()
+        == real_media.count()
+    )
+    fake = synth_media(
+        spark.range(3).select(F.concat(F.lit("f"), F.col("id")).alias("media_ref"))
+    )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
-        extract_features(real_media, decode_stub="error").collect()
+        extract_features(fake, decode_stub="error").collect()
 
 
 def test_media_meta_cols_jvm_parse(real_media):
@@ -162,6 +176,12 @@ def test_media_meta_cols_jvm_parse(real_media):
             assert r["media_w"] is None and r["media_h"] is None
             m = jpeg.jpeg_meta(payload)
             assert m["width"] > 0 and m["height"] > 0 and m["channels"] == 3
+        elif kind == "avi":
+            from georip_spark import avi
+
+            m = avi.avi_meta(payload)
+            assert (r["media_w"], r["media_h"]) == (m["width"], m["height"])
+            assert r["media_n_frames"] == m["n_frames"]
 
 
 def test_media_meta_cols_plan_is_jvm_only(real_media):
@@ -171,6 +191,35 @@ def test_media_meta_cols_plan_is_jvm_only(real_media):
     base = real_media.select("media_ref", "payload")
     plan = media_meta_cols(base)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sample_frames_decode_real(real_media):
+    """MJPEG-AVI rows emit REAL decoded frames at the sampled indices,
+    carried as lossless PNG — pixel-compared against a local decode of
+    the same payload."""
+    from georip_spark import avi
+    from georip_spark.operators.multimodal import sample_frames_decode
+
+    every = 2
+    out = sample_frames_decode(real_media, every=every).collect()
+    by_ref: dict = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], {})[r["frame_idx"]] = r
+    checked = 0
+    for r in real_media.collect():
+        payload = bytes(r["payload"])
+        if codecs.sniff(payload) != "avi":
+            assert r["media_ref"] not in by_ref  # no frames for non-video
+            continue
+        frames = {i: f for i, f in enumerate(avi.avi_decode_frames(payload))}
+        got = by_ref[r["media_ref"]]
+        assert sorted(got) == [i for i in sorted(frames) if i % every == 0]
+        for i, row in got.items():
+            img = codecs.png_decode(bytes(row["frame_png"]))
+            np.testing.assert_array_equal(img, frames[i])
+            assert (row["frame_h"], row["frame_w"]) == frames[i].shape
+            checked += 1
+    assert checked > 0
 
 
 def test_resize_image_real(real_media):
