@@ -1467,8 +1467,11 @@ def q35_holed_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     w = Window.orderBy("doc_id")
     p = (
-        d.select("doc_id").withColumn("i", F.row_number().over(w) - 1)
-        .filter(F.col("i") < 200)
+        # pre-shrink BEFORE the single-partition window: limit(200)
+        # runs as a partial+global TakeOrdered, so only 200 rows ever
+        # reach the row_number sort (same fix as q36/q41 per ADVICE)
+        d.select("doc_id").orderBy("doc_id").limit(200)
+        .withColumn("i", F.row_number().over(w) - 1)
         .select(
             "doc_id",
             (F.lit(20) + (F.col("i") * 7) % 31).alias("wa"),
@@ -1984,8 +1987,10 @@ def q39_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       closed-form with no codec at all.
     * LOSSY leg: a triangle-wave image pixel(y,x) =
       |((seed + 3x + 5y) mod 510) − 255| encoded at quality 90,
-      decoded, PSNR against the source asserted ≥ 28 dB (measured
-      worst case over all 240 parameter rows: 31.1). The payload then
+      decoded, PSNR against the source asserted ≥ 40 dB (measured
+      worst case over all 240 parameter rows: 48.4 after the round-5
+      dequant-order fix; the pre-fix decoder read 31.1, which is how
+      the review caught the bug). The payload then
       flows through ``media_meta_cols``' pure-JVM magic sniff
       ('jpeg') while width/height/channels come from
       ``jpeg.jpeg_meta``'s python header parse — pinning both parse
@@ -2036,7 +2041,7 @@ def q39_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _np.mean((dec.astype(_np.float64) - img.astype(_np.float64)) ** 2)
                 )
                 psnr = 99.0 if mse == 0 else 10 * _np.log10(255.0**2 / mse)
-                psnr_ok.append(bool(psnr >= 28.0))
+                psnr_ok.append(bool(psnr >= 40.0))
                 m = _jpeg.jpeg_meta(payload)
                 meta_w.append(m["width"])
                 meta_h.append(m["height"])

@@ -355,15 +355,23 @@ def transform_xy(x, y, src_crs: str, dst_crs: str, allow_approx: bool = False):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     datum_s, proj_s = _decode(src_crs)
     datum_d, proj_d = _decode(dst_crs)
-    if not allow_approx:
-        for d, crs in ((datum_s, src_crs), (datum_d, dst_crs)):
-            if d in _APPROX_DATUMS:
-                raise ValueError(
-                    f"{crs} ({d}) transforms exactly only through a "
-                    "distortion grid (NADCON) not available here; pass "
-                    "allow_approx=True to accept the EPSG grid-free "
-                    "Helmert fallback (~5 m published accuracy)"
-                )
+    # the gate fires only when a DATUM SHIFT actually crosses an
+    # approx datum: same-datum transforms (e.g. NAD27 geographic ↔
+    # NAD27/UTM) are pure projection math and exact
+    if (
+        not allow_approx
+        and datum_s != datum_d
+        and (datum_s in _APPROX_DATUMS or datum_d in _APPROX_DATUMS)
+    ):
+        d, crs = (
+            (datum_s, src_crs) if datum_s in _APPROX_DATUMS else (datum_d, dst_crs)
+        )
+        raise ValueError(
+            f"{crs} ({d}) shifts datum exactly only through a "
+            "distortion grid (NADCON) not available here; pass "
+            "allow_approx=True to accept the EPSG grid-free "
+            "Helmert fallback (~5 m published accuracy)"
+        )
     if datum_s == datum_d and proj_s == proj_d:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if proj_s is None:

@@ -27,6 +27,8 @@ zero full-payload decode.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -239,10 +241,17 @@ def resize_image(media: DataFrame, max_side: int = 64) -> DataFrame:
                 if kind not in ("png", "jpeg"):
                     rows.append((ref, payload, None, None))
                     continue
-                if kind == "png":
-                    img = codecs.png_decode(payload)
-                else:
-                    img = jpeg.jpeg_decode(payload)
+                try:
+                    if kind == "png":
+                        img = codecs.png_decode(payload)
+                    else:
+                        img = jpeg.jpeg_decode(payload)
+                except (ValueError, KeyError, IndexError,
+                        struct.error, zlib.error):
+                    # magic matched but the body is undecodable
+                    # (progressive JPEG, truncation) — pass through
+                    rows.append((ref, payload, None, None))
+                    continue
                 h, w = img.shape[:2]
                 scale = min(max_side / w, max_side / h, 1.0)
                 tw, th = max(1, int(w * scale)), max(1, int(h * scale))
@@ -281,27 +290,34 @@ def decode_media(payload: bytes) -> np.ndarray | None:
       goes through :func:`sample_frames_decode`)
     * WAV → (n_frames, n_channels) samples scaled to [-1, 1]
 
-    Returns None for unrecognized formats (inter-frame video,
-    progressive JPEG …) so callers pick the stub posture. Pure
+    Returns None for unrecognized or undecodable payloads —
+    inter-frame video, and also payloads whose MAGIC matches but whose
+    body this codec set can't decode (progressive/arithmetic JPEG,
+    truncated/corrupt files) — so callers pick the stub posture
+    instead of one bad payload crashing a whole executor task. Pure
     python+numpy, safe inside Arrow workers."""
     kind = codecs.sniff(payload)
-    if kind == "png":
-        arr = codecs.png_decode(payload)
-        return arr.astype(np.float32) / float(np.iinfo(arr.dtype).max)
-    if kind == "jpeg":
-        return jpeg.jpeg_decode(payload).astype(np.float32) / 255.0
-    if kind == "avi":
-        frames = avi.avi_decode_frames(payload, limit=1)
-        return frames[0].astype(np.float32) / 255.0 if frames else None
-    if kind == "wav":
-        samples, _rate = codecs.wav_decode(payload)
-        if samples.dtype == np.uint8:
-            return (samples.astype(np.float32) - 128.0) / 128.0
-        if np.issubdtype(samples.dtype, np.integer):
-            return samples.astype(np.float32) / float(
-                np.iinfo(samples.dtype).max + 1
-            )
-        return samples.astype(np.float32)
+    try:
+        if kind == "png":
+            arr = codecs.png_decode(payload)
+            return arr.astype(np.float32) / float(np.iinfo(arr.dtype).max)
+        if kind == "jpeg":
+            return jpeg.jpeg_decode(payload).astype(np.float32) / 255.0
+        if kind == "avi":
+            frames = avi.avi_decode_frames(payload, limit=1)
+            return frames[0].astype(np.float32) / 255.0 if frames else None
+        if kind == "wav":
+            samples, _rate = codecs.wav_decode(payload)
+            if samples.dtype == np.uint8:
+                return (samples.astype(np.float32) - 128.0) / 128.0
+            if np.issubdtype(samples.dtype, np.integer):
+                return samples.astype(np.float32) / float(
+                    np.iinfo(samples.dtype).max + 1
+                )
+            return samples.astype(np.float32)
+    except (ValueError, KeyError, IndexError, struct.error, zlib.error):
+        # sniffed-but-undecodable (progressive JPEG, truncation, …)
+        return None
     return None
 
 
@@ -410,11 +426,8 @@ def sample_frames_decode(media: DataFrame, every: int = 4) -> DataFrame:
                 payload = bytes(payload)
                 if codecs.sniff(payload) != "avi":
                     continue
-                for i, chunk in avi.avi_iter_frame_chunks(payload):
-                    if i % every:
-                        continue
-                    frame = jpeg.jpeg_decode(chunk)
-                    rows.append(
+                try:
+                    mine = [
                         (
                             ref,
                             i,
@@ -422,7 +435,16 @@ def sample_frames_decode(media: DataFrame, every: int = 4) -> DataFrame:
                             frame.shape[1],
                             codecs.png_encode(frame),
                         )
-                    )
+                        for i, chunk in avi.avi_iter_frame_chunks(payload)
+                        if i % every == 0
+                        for frame in (jpeg.jpeg_decode(chunk),)
+                    ]
+                except (ValueError, KeyError, IndexError,
+                        struct.error, zlib.error):
+                    # corrupt container/frame: emit NO frames for this
+                    # payload rather than crashing the executor task
+                    continue
+                rows.extend(mine)
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "frame_idx", "frame_h", "frame_w", "frame_png"],

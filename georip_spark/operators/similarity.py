@@ -241,13 +241,16 @@ def ann_topk_ivf(
             F.lit(cid).cast("long").alias("cid"),
         )
 
-    # corpus: argmax over the centroid structs = (cos desc, cid asc)
-    c = cq.withColumn("_n2", int_dot(F.col("_cq"), F.col("_cq"))).select(
+    # corpus: argmax over the centroid structs = (cos desc, cid asc).
+    # The row norm² is computed once here and CARRIED through the join
+    # (recomputing it per candidate would pay an O(dim) fold per pair)
+    c = cq.withColumn("_cn2", int_dot(F.col("_cq"), F.col("_cq"))).select(
         F.col(id_col),
         F.col("_cq"),
+        F.col("_cn2"),
         F.array_max(
             F.array(*[
-                cos_struct(F.col("_cq"), F.col("_n2"), cid, cv)
+                cos_struct(F.col("_cq"), F.col("_cn2"), cid, cv)
                 for cid, cv in cent_rows
             ])
         )["cid"].alias("cell"),
@@ -256,16 +259,17 @@ def ann_topk_ivf(
     # sorted descending — |Q| rows, stays broadcast-side
     q = queries.select(
         F.col(q_id_col), quantize(F.col(q_vec_col), scale).alias("_qq")
-    ).withColumn("_n2", int_dot(F.col("_qq"), F.col("_qq")))
+    ).withColumn("_qn2", int_dot(F.col("_qq"), F.col("_qq")))
     qp = q.select(
         F.col(q_id_col),
         F.col("_qq"),
+        F.col("_qn2"),
         F.explode(
             F.slice(
                 F.reverse(
                     F.array_sort(
                         F.array(*[
-                            cos_struct(F.col("_qq"), F.col("_n2"), cid, cv)
+                            cos_struct(F.col("_qq"), F.col("_qn2"), cid, cv)
                             for cid, cv in cent_rows
                         ])
                     )
@@ -282,8 +286,8 @@ def ann_topk_ivf(
         F.col(q_id_col),
         F.col(id_col),
         int_dot(F.col("_qq"), F.col("_cq")).alias("dot_q"),
-        int_dot(F.col("_qq"), F.col("_qq")).alias("nq2_q"),
-        int_dot(F.col("_cq"), F.col("_cq")).alias("nc2_q"),
+        F.col("_qn2").alias("nq2_q"),
+        F.col("_cn2").alias("nc2_q"),
     )
     cosd = F.col("dot_q").cast("double") / (
         F.sqrt(F.col("nq2_q").cast("double"))

@@ -260,11 +260,12 @@ class TestWebMercator:
         np.testing.assert_allclose(lat2, lat, atol=1e-9)
 
     def test_nad27_utm_is_tm_on_clarke1866(self):
-        # NAD27 / UTM 14N projection = the TM kernel on Clarke 1866
+        # NAD27 / UTM 14N projection = the TM kernel on Clarke 1866.
+        # Same-datum, so EXACT — no allow_approx needed (the gate only
+        # fires on actual datum shifts crossing NAD27)
         lon = np.asarray([-99.0])
         lat = np.asarray([35.0])
-        e, n = C.transform_xy(lon, lat, "EPSG:4267", "EPSG:26714",
-                              allow_approx=True)
+        e, n = C.transform_xy(lon, lat, "EPSG:4267", "EPSG:26714")
         a, f = C._ELLIPSOIDS["clarke1866"]
         ed, nd = C.tm_forward(lon, lat, a=a, f=f, k0=0.9996, lat0=0.0,
                               lon0=-99.0, fe=500000.0, fn=0.0)
