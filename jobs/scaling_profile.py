@@ -108,6 +108,12 @@ def main() -> None:
         inp = tempfile.mkdtemp(prefix=f"scaling_prof_{n_docs}_")
         prepare_inputs(n_docs, inp)
     n_regions = 3 * n_docs
+    # same override as the campaign: profile the join regime the
+    # record config measures (shuffle-hash), not the broadcast path
+    # a 192k dim would otherwise take at small n
+    forced = int(os.environ.get("SCALING_FORCE_REGIONS", "0"))
+    if forced:
+        n_regions = forced
 
     pin = "pin" in sys.argv[4:] or os.environ.get("SCALING_PIN") == "1"
     results = {}
