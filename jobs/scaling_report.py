@@ -246,12 +246,38 @@ Spark involved; engine/jvmalloc-ceiling = 0.72 in this window). On a
 real cluster the N→4N step of the north_rule adds a memory bus and a
 GC'd heap per machine — the invariant this single-socket VM cannot
 emulate at any n. The recorded ≥0.8 target is met only in the
-cache-resident 64k windows (0.82 best-calm-CPU, with the memory-side
+cache-resident 64k windows (0.831 best-calm-CPU, with the memory-side
 disclosure below; 0.767 with every control calm); at bus-bound sizes
 the honest number is 0.58–0.63 against a 0.85–0.99 control ceiling,
-and the engine's efficiency-to-binding-ceiling ratio holds a 0.905
-median (min 0.64) across all 26 pinned/unpinned 1→4 and 2→8 windows
+and the engine's efficiency-to-binding-ceiling ratio holds a 0.931
+median (min 0.637) across all 35 pinned/unpinned 1→4 and 2→8 windows
 on file.
+
+Round-5 attribution experiment (what the non-scaling term IS): a
+per-stage 1-vs-4 profile at the record config
+(jobs/scaling_profile.py, SCALING_FORCE_REGIONS honored) localizes
+the entire efficiency loss to aggregate-CPU inflation in ONE stage —
+the shuffle-hash join + clip (99–110 executor-run-seconds at 1 core
+→ 162–166 at 4 cores, +50–63%), while the reassembly aggregate
+inflates only ~5% and GC stays <1% of run time. The hypothesis that
+the campaign's 4·cores partition formula fragments compression
+blocks was tested and REFUTED: equalizing
+spark.sql.shuffle.partitions at both levels makes the shuffle bytes
+byte-identical (45.0/45.0 MB and 519.2/519.6 MB lo/hi, versus
+45→71.5 and 519→749 MB under the formula) yet the CPU inflation is
+unchanged. What remains is the hash-probe + interpreted-HOF-clip
+access pattern — dependent random access plus small-object churn —
+contending for the VM's single memory subsystem at 4 busy cores:
+precisely the pattern the randacc and jvmalloc controls bound, and a
+per-machine resource on any real N→4N cluster step. The same
+experiment measured back-to-back identical-config 1-core legs at
+219.5 vs 241.7 s (10% drift on the serial leg alone), which is why
+the record is a multi-window min-of-runs campaign rather than one
+number. The 9-window round-5 session-5 campaign (all in the table)
+reads eff_best 0.734–0.831 (median 0.759) with the pure-CPU control
+calm (0.91–1.08) in EVERY window, while the streaming-DRAM control
+was externally contended (0.33–0.56) all session — the engine held
+its band under DRAM weather its own controls flagged.
 
 Headline (best calm window, CPU control ≥ 0.9, current code):
 
