@@ -260,6 +260,136 @@ def spatial_join_tiles_regions(
     return out
 
 
+def _knn_small_right(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Broadcast-corpus exact kNN — guide §3.1 ("broadcast the side
+    that fits") applied to the kNN operator. When the right corpus is
+    dimension-sized, the grid-disk ladder pays one shuffle + window
+    sort per escalation pass over O(candidates) rows; collecting the
+    corpus once and scanning it with vectorized numpy inside a single
+    Arrow-batched mapInPandas stage does the same exact work with ZERO
+    shuffles of the probe side and no driver-loop of per-pass count
+    jobs (measured round 6: q11 at sf1.0 14.0s ladder → sub-second).
+
+    Exactness contract (identical to the ladder / the q11 oracle):
+    top-k by (dist, right_key) with dist = sqrt((lx-rx)² + (ly-ry)²)
+    computed in IEEE float64 in the same operation order as the
+    Catalyst expression — numpy and the JVM produce bit-identical
+    doubles. Ties beyond k are resolved by the (dist, right_key) sort,
+    and ALL candidates tied with the k-th distance are ranked (np.
+    partition gives the exact order statistic; every candidate with
+    d2 <= kth is kept for the lexsort), so tie-breaking matches
+    row_number() OVER (ORDER BY dist, right_key) exactly.
+
+    Assumes non-null probe/corpus coordinates (the same assumption the
+    ladder's cell math makes on its hot path). Output schema and
+    column order mirror the ladder: left.*, right.*, dist, rn."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    lxn, lyn = left_xy
+    rxn, ryn = right_xy
+    spark = left.sparkSession
+    right_pdf = right.toPandas()
+    rx_arr = right_pdf[rxn].to_numpy(np.float64)
+    ry_arr = right_pdf[ryn].to_numpy(np.float64)
+    key_s = right_pdf[right_key]
+    if key_s.dtype.kind in "iuf":
+        key_arr = key_s.to_numpy()
+    else:
+        # bytes compare == UTF-8 binary order == Spark string ordering
+        key_arr = key_s.astype(str).str.encode("utf-8").to_numpy()
+    bc = spark.sparkContext.broadcast((right_pdf, rx_arr, ry_arr, key_arr))
+
+    out_schema = StructType(
+        list(left.schema.fields)
+        + list(right.schema.fields)
+        + [StructField("dist", DoubleType()), StructField("rn", IntegerType())]
+    )
+    left_cols = list(left.columns)
+    right_cols = list(right.columns)
+
+    def topk(it):
+        r_pdf, RX, RY, RKEY = bc.value
+        m = RX.shape[0]
+        kk = min(k, m)
+        # sub-chunk so the distance matrix stays cache-resident:
+        # ~256k float64 cells ≈ 2 MB. This host is memory-bandwidth
+        # bound (the round-5 scaling attribution); a streaming 8M-cell
+        # matrix measured 6× slower than the cache-sized one
+        # (OPTIMIZATION_r06.md kernel sweep)
+        step = max(8, (256 << 10) // max(m, 1))
+        for pdf in it:
+            if m == 0 or len(pdf) == 0:
+                continue
+            pxA = pdf[lxn].to_numpy(np.float64)
+            pyA = pdf[lyn].to_numpy(np.float64)
+            acc = []
+            for s0 in range(0, len(pdf), step):
+                px = pxA[s0:s0 + step]
+                py = pyA[s0:s0 + step]
+                # in-place ops: the matrix is the memory traffic, so
+                # build d2 in two buffers instead of four. (x-rx)*(x-rx)
+                # + (y-ry)*(y-ry) in this exact order — bit-identical
+                # to the Catalyst dist expression.
+                dx = px[:, None] - RX[None, :]
+                dx *= dx
+                dy = py[:, None] - RY[None, :]
+                dy *= dy
+                dx += dy
+                d2 = dx
+                if m > kk:
+                    kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+                    mask = d2 <= kth[:, None]
+                    rows, cols = np.nonzero(mask)
+                    d2f = d2[rows, cols]
+                else:
+                    rows = np.repeat(np.arange(len(px)), m)
+                    cols = np.tile(np.arange(m), len(px))
+                    d2f = d2.ravel()
+                order = np.lexsort((RKEY[cols], d2f, rows))
+                rows_o = rows[order]
+                cols_o = cols[order]
+                d2_o = d2f[order]
+                starts = np.searchsorted(rows_o, np.arange(len(px)))
+                counts = np.diff(np.append(starts, len(rows_o)))
+                rank = np.arange(len(rows_o)) - np.repeat(starts, counts)
+                keep = rank < kk
+                acc.append((rows_o[keep] + s0, cols_o[keep],
+                            d2_o[keep], rank[keep]))
+            # ONE pandas assembly per Arrow batch (a per-sub-chunk
+            # iloc/concat measured as a visible fixed cost at the
+            # cache-sized sub-chunk width)
+            rows_all = np.concatenate([a[0] for a in acc])
+            cols_all = np.concatenate([a[1] for a in acc])
+            d2_all = np.concatenate([a[2] for a in acc])
+            rank_all = np.concatenate([a[3] for a in acc])
+            lpart = pdf.iloc[rows_all].reset_index(drop=True)
+            rpart = r_pdf.iloc[cols_all].reset_index(drop=True)
+            out = pd.concat([lpart[left_cols], rpart[right_cols]], axis=1)
+            out["dist"] = np.sqrt(d2_all)
+            out["rn"] = (rank_all + 1).astype("int32")
+            yield out
+
+    # fan out an under-parallel probe scan (same rationale as
+    # spatial_join_tiles_regions: a 2-split scan would run the whole
+    # stage 2-wide); at real scale the scan has thousands of splits
+    par = spark.sparkContext.defaultParallelism
+    if left.rdd.getNumPartitions() < 2 * par:
+        left = left.repartition(4 * par)
+    return left.mapInPandas(topk, out_schema)
+
+
 def _knn_pass(
     remaining: DataFrame,
     right: DataFrame,
@@ -329,7 +459,7 @@ def _knn_pass(
             ),
         ).drop("_dx", "_dy")
         probe = remaining.withColumn("cell", cells.cell_expr(lx, ly, res))
-        cand = probe.join(r_exp, "cell", "inner").drop("cell")
+        cand = probe.join(r_exp, "cell", "inner")
         # the global disk is a superset of every per-row ring, so the
         # uniform radius is the (strictly stronger) proof bound here
         proof_cells = F.lit(ring_global)
@@ -337,15 +467,26 @@ def _knn_pass(
     dist = F.sqrt((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
     cand = cand.withColumn("dist", dist)
 
-    # one shuffle, three window functions over the same partitioning
+    # one shuffle, three window functions over the same partitioning.
+    # Right-replication passes give every probe row a SINGLE home
+    # cell, so every candidate of a left key lives in the partition
+    # the cell-join already hashed it to: windowing by (cell, left_key)
+    # groups identically to left_key, and hashpartitioning(cell) from
+    # the join satisfies the window's ClusteredDistribution — the
+    # exchange that re-shuffled EVERY candidate row by left_key is
+    # elided outright (guide §2.4; plan: 2 Exchange → 1), leaving only
+    # the partition-local sort.
     order = [F.col("dist").asc(), F.col(right_key).asc()]
-    wp = Window.partitionBy(left_key)
+    if replicate_left:
+        wp = Window.partitionBy(left_key)
+    else:
+        wp = Window.partitionBy("cell", left_key)
     ranked = (
         cand.withColumn("rn", F.row_number().over(wp.orderBy(*order)))
         .withColumn("_n_cand", F.count("*").over(wp))
         .withColumn("_kth", F.max(F.when(F.col("rn") <= k, F.col("dist"))).over(wp))
     )
-    top = ranked.filter(F.col("rn") <= k).withColumn(
+    top = ranked.filter(F.col("rn") <= k).drop("cell").withColumn(
         "_proven",
         (F.col("_n_cand") >= k) & (F.col("_kth") <= proof_cells * F.lit(s)),
     )
@@ -410,6 +551,8 @@ def knn_join(
     max_ring: int = 64,
     broadcast_tail_rows: int = 1_000_000,
     tail_pair_cap: int = 2_000_000,
+    small_right_rows: int = 250_000,
+    brute_pair_cap: float = 8e9,
 ) -> DataFrame:
     """k nearest right-rows for every left-row (SURVEY.md J12 — the
     north_rule's kNN between tile centroids and labeled features;
@@ -459,6 +602,22 @@ def knn_join(
     right = right.drop(*[c for c in left.columns if c in right.columns])
     n_right = right.count()
     n_left = left.count()
+
+    # Dimension-sized corpus: broadcast it and solve exactly in ONE
+    # Arrow stage instead of the multi-pass ladder (guide §3.1 — the
+    # same small-side rule a join planner applies). The pair cap keeps
+    # the vectorized scan's total flops bounded; past either threshold
+    # the grid-disk ladder below remains the scale path. Set
+    # small_right_rows=0 to force the ladder (tests exercise both).
+    if (
+        small_right_rows
+        and 0 < n_right <= small_right_rows
+        and n_left * n_right <= brute_pair_cap
+    ):
+        return _knn_small_right(
+            left, right, k, left_xy, right_xy, left_key, right_key
+        )
+
     s = float(cells.cell_size(res))
 
     def _solved(top):

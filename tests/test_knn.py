@@ -59,8 +59,20 @@ def _check(df, want):
 
 
 def test_knn_exact_default(knn_data):
+    """Default path: the corpus is dimension-sized, so the broadcast-
+    corpus numpy fast path (round 6) fires — must be exact."""
     left, right, ldf, rdf = knn_data
     out = knn_join(ldf, rdf, k=K, res=12, ring=1,
+                   left_key="event_id", right_key="geom_id")
+    _check(out, _brute(left, right))
+
+
+def test_knn_ladder_exact(knn_data):
+    """small_right_rows=0 forces the grid-disk ladder (the scale path
+    for fact-sized corpora) — still exact after the round-6 window
+    exchange-elision in the right-replication passes."""
+    left, right, ldf, rdf = knn_data
+    out = knn_join(ldf, rdf, k=K, res=12, ring=1, small_right_rows=0,
                    left_key="event_id", right_key="geom_id")
     _check(out, _brute(left, right))
 
@@ -70,6 +82,7 @@ def test_knn_forced_tail_broadcasts_left_not_right(knn_data):
     tail must stay exact with the remaining-left side broadcast."""
     left, right, ldf, rdf = knn_data
     out = knn_join(ldf, rdf, k=K, res=12, ring=1, max_ring=1,
+                   small_right_rows=0,
                    left_key="event_id", right_key="geom_id")
     _check(out, _brute(left, right))
     # plan hygiene: no broadcast of the full right side anywhere
@@ -84,7 +97,7 @@ def test_knn_distributed_tail_when_left_too_big(knn_data):
     memory-safe last resort); still exact."""
     left, right, ldf, rdf = knn_data
     out = knn_join(ldf, rdf, k=K, res=12, ring=1, max_ring=1,
-                   broadcast_tail_rows=0,
+                   broadcast_tail_rows=0, small_right_rows=0,
                    left_key="event_id", right_key="geom_id")
     _check(out, _brute(left, right))
 
@@ -97,6 +110,7 @@ def test_knn_ladder_leftrep_exact(knn_data):
     path too."""
     left, right, ldf, rdf = knn_data
     out = knn_join(ldf, rdf, k=K, res=12, ring=1, tail_pair_cap=0,
+                   small_right_rows=0,
                    left_key="event_id", right_key="geom_id")
     _check(out, _brute(left, right))
 
@@ -110,7 +124,26 @@ def test_knn_k_exceeds_right(spark):
                                 "geom_id long, fx double, fy double")
     out = knn_join(ldf, rdf, k=5, res=12, ring=1,
                    left_key="event_id", right_key="geom_id").collect()
-    assert len(out) == 4  # 2 lefts × 2 available rights
+    assert len(out) == 4  # 2 lefts × 2 available rights (fast path)
+    out2 = knn_join(ldf, rdf, k=5, res=12, ring=1, small_right_rows=0,
+                    left_key="event_id", right_key="geom_id").collect()
+    assert len(out2) == 4  # same through the ladder/tail
+
+
+def test_knn_fast_path_ties_and_string_keys(spark):
+    """Broadcast-corpus path tie-breaking: equidistant corpus points
+    must rank by right_key ascending — including string keys, whose
+    numpy-side ordering must match Spark's binary string ordering."""
+    ldf = spark.createDataFrame([(0, 0.0, 0.0)],
+                                "event_id long, cx double, cy double")
+    # four corpus points all at distance 5.0, plus one nearer
+    rows = [("b", 3.0, 4.0), ("a", 4.0, 3.0), ("d", -3.0, 4.0),
+            ("c", 0.0, 5.0), ("z", 0.0, 1.0)]
+    rdf = spark.createDataFrame(rows, "geom_id string, fx double, fy double")
+    out = knn_join(ldf, rdf, k=3, res=12, ring=1,
+                   left_key="event_id", right_key="geom_id").collect()
+    got = sorted((r["rn"], r["geom_id"], r["dist"]) for r in out)
+    assert got == [(1, "z", 1.0), (2, "a", 5.0), (3, "b", 5.0)]
 
 
 def test_knn_escalate_must_grow(knn_data):
