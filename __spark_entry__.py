@@ -329,10 +329,10 @@ def q09_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps, clamped edge tiles, row-major ordinals, pixel-offset tile
     ids) as explode(sequence) column math.
 
-    CONTRACT: result rows are UNORDERED across partitions (only
-    sorted within each); row identity and row-major order are carried
-    by the `ordinal` column. Consumers must compare order-insensitively
-    (the driver's sorted-hash does; tests/run_oracle_check.py sorts)."""
+    CONTRACT: result rows are UNORDERED; row identity and row-major
+    order are carried by the `ordinal` column. Consumers must compare
+    order-insensitively (the driver's sorted-hash does;
+    tests/run_oracle_check.py sorts)."""
     from georip_spark.operators.tiling import tile_grid
 
     rasters = _rasters_from_part(spark, sf_dir)
@@ -344,14 +344,15 @@ def q09_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tile_h").cast("long").alias("tile_h"),
         F.col("ordinal").cast("long").alias("ordinal"),
         "minx", "miny", "maxx", "maxy",
-        # per-partition sorted output (docs are partition-contiguous
-        # after tile_grid's fan-out): row-major order is CARRIED by
-        # `ordinal`, and a global sort of a pure enumeration is the
-        # plan you'd never run at 10^12 tiles — its range-partitioner
-        # sampling re-executes the whole fan-out stage (measured
-        # 2.34s → 0.315s at sf0.1 dropping it). The driver compare is
-        # order-insensitive.
-    ).sortWithinPartitions("doc_id", "ordinal")
+        # UNSORTED output: row-major order is CARRIED by `ordinal`,
+        # and a global sort of a pure enumeration is the plan you'd
+        # never run at 10^12 tiles — its range-partitioner sampling
+        # re-executes the whole fan-out stage (measured 2.34s → 0.315s
+        # at sf0.1 dropping it, round 5). Round 6 drops the
+        # partition-local sort too: it added a full comparison pass
+        # over every fan-out row for presentation only. The driver
+        # compare is order-insensitive (sorted-hash).
+    )
 
 
 _Q09_SQL = f"""
@@ -378,9 +379,9 @@ def q10_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cover cells → equi-join → reference-point dedup → exact numpy
     refinement). Oracle is a plain range-predicate join.
 
-    CONTRACT: result rows are UNORDERED across partitions; pair
-    identity is the (event_id, s_suppkey) columns themselves.
-    Consumers must compare order-insensitively."""
+    CONTRACT: result rows are UNORDERED; pair identity is the
+    (event_id, s_suppkey) columns themselves. Consumers must compare
+    order-insensitively."""
     from georip_spark.operators.joins import prepare_regions, spatial_join_tiles_regions
 
     pts = _points_from_events(spark, sf_dir).select(
@@ -396,9 +397,13 @@ def q10_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rminx", "rmaxy", "rminx", "rminy",
         ).alias("geometry"),
     )
-    prepared = prepare_regions(rects, res=11)
+    # res=12 (cell 256): candidates/probe scale as density·(rect+cell)²,
+    # and the sf1.0 A/B read res11 5.1s / res12 4.1s / res13 4.1s /
+    # res14 4.9s (OPTIMIZATION_r06.md) — res only changes candidate
+    # generation, never the joined row set (row count verified equal)
+    prepared = prepare_regions(rects, res=12)
     joined = spatial_join_tiles_regions(
-        pts, prepared, res=11, how="inner", on_years=False, clip=False,
+        pts, prepared, res=12, how="inner", on_years=False, clip=False,
         broadcast_regions=True,
         # the regions are axis-aligned rects, so the JVM bbox
         # prefilter IS the exact intersects test — skip the Arrow
@@ -407,9 +412,11 @@ def q10_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         F.col("media_ref").cast("long").alias("event_id"), "s_suppkey"
-        # per-partition sort, same rationale as q09: pair identity is
-        # the (event_id, s_suppkey) columns, not global row order
-    ).sortWithinPartitions("event_id", "s_suppkey")
+        # UNSORTED, same rationale as q09: pair identity is the
+        # (event_id, s_suppkey) columns; the round-5 partition-local
+        # sort was a full extra pass over ~180M pairs at sf1.0 for
+        # presentation only (measured ~4.1s → 3.2s dropping it)
+    )
 
 
 _Q10_SQL = f"""

@@ -157,17 +157,35 @@ def spatial_join_tiles_regions(
         # to any straggler; 4 waves pack the cores
         tiles = tiles.repartition(4 * default_par)
 
-    probe = tiles.withColumn(
-        "cell",
-        cached_column(
-            ("spatial_join.probe_cover", res),
-            lambda: F.explode(
-                cells.cover_bbox_expr(
-                    F.col("minx"), F.col("miny"), F.col("maxx"),
-                    F.col("maxy"), res,
-                )
-            ),
-        ),
+    # Probe-side cover as TWO explode(sequence) generators + packed-id
+    # column math instead of explode(cover_bbox_expr(...)): a
+    # higher-order-function generator has no codegen, so the single
+    # array-building explode ran as an interpreted Generate that SPLIT
+    # the whole-stage-codegen span between the tile fan-out and the
+    # join (round-6 plan audit; the fan-out→join stage ran ~50µs/row).
+    # With explode(sequence) the scan→fan-out→cover→join→filters chain
+    # is ONE WholeStageCodegen span and allocates no per-row cell
+    # arrays. Cell order (x-major, then y) matches cover_bbox.
+    _s = float(cells.cell_size(res))
+    probe = (
+        tiles.withColumn(
+            "_cx",
+            F.explode(F.sequence(
+                F.floor(F.col("minx") / F.lit(_s)).cast("long"),
+                F.floor(F.col("maxx") / F.lit(_s)).cast("long"),
+            )),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(F.sequence(
+                F.floor(F.col("miny") / F.lit(_s)).cast("long"),
+                F.floor(F.col("maxy") / F.lit(_s)).cast("long"),
+            )),
+        )
+        .withColumn(
+            "cell", cells.cell_from_ixy_expr(F.col("_cx"), F.col("_cy"), res)
+        )
+        .drop("_cx", "_cy")
     )
 
     join_keys = keys + ["cell"]

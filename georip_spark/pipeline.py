@@ -287,6 +287,15 @@ def build_labels(
             ),
         )
     exclude = ("geometry",) if (rect_fast and general_jvm) else ()
+    if rect_fast and general_jvm:
+        # canonical rectangles never read their shell array (the
+        # closed-form rect path wins the CASE) — null it dim-side so
+        # the broadcast/shuffle relation stays skinny for the dominant
+        # row class (guide §2.3 "project before the exchange")
+        regions_prepared = regions_prepared.withColumn(
+            "shells",
+            F.when(~F.col("is_rect_blccw"), F.col("shells")),
+        )
     # refine=False: the clip paths below null empty intersections, so
     # the separate exact-intersects Python pass would be redundant work
     joined = spatial_join_tiles_regions(
@@ -403,34 +412,43 @@ def assemble_docs(tiles: DataFrame, labels: DataFrame) -> DataFrame:
     key is reproducible in the oracle, unlike geom_id's xxhash64),
     tiles in row-major ordinal order, offsets re-enumerated 0..n−1.
 
-    Shuffle profile: media rows and text rows are UNIONED and ordered
-    inside ONE groupBy(doc_id) via a composite struct sort key
-    (ordinal, kind_order, class_id, label) — no tiles×labels join, no
-    second aggregation. One shuffle of (tiles + labels) rows with
-    map-side partial collect: the minimal data movement for doc
-    reassembly at 10^12 docs."""
-    media_rows = tiles.select(
+    Shuffle profile (round 6): media rows and text rows are aggregated
+    PER BRANCH with groupBy(doc_id).collect_list, then merged with a
+    doc-keyed left join and one array_sort over the concatenated
+    spans — same composite (ordinal, kind_order, class_id, label,
+    media_ref) ordering as the old union-then-group shape, row for
+    row. The point of the split: both branches descend from the SAME
+    doc-partitioned scan (build_dataset/from_docs establish
+    hashpartitioning(doc_id) BEFORE the ~100× tile fan-out, and the
+    fan-out, broadcast join and clip all preserve it), so the two
+    aggregations and the join plan with ZERO exchanges — the old
+    union's single groupBy re-shuffled every fanned-out media+label
+    row because a union erases its children's co-partitioning
+    (guide §2.4: share the partitioning established once). Where the
+    inputs are NOT doc-partitioned, Spark inserts the exchanges and
+    the result is unchanged."""
+    media_agg = tiles.select(
         "doc_id",
-        F.col("ordinal"),
-        F.lit(0).alias("k"),               # media sorts before its texts
-        F.lit(-(2 ** 31)).cast("int").alias("class_id"),
-        F.lit("").alias("label"),
-        "media_ref",
-    )
-    text_rows = labels.select(
-        "doc_id", F.col("ordinal"), F.lit(1).alias("k"),
-        F.col("class_id"), F.col("label"), "media_ref",
-    )
-    rows = media_rows.unionByName(text_rows)
-    docs = rows.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("ordinal", "k", "class_id", "label", "media_ref")
-            )
-        ).alias("ordered")
-    )
+        F.struct(
+            F.col("ordinal"),
+            F.lit(0).alias("k"),           # media sorts before its texts
+            F.lit(-(2 ** 31)).cast("int").alias("class_id"),
+            F.lit("").alias("label"),
+            "media_ref",
+        ).alias("s"),
+    ).groupBy("doc_id").agg(F.collect_list("s").alias("m"))
+    text_agg = labels.select(
+        "doc_id",
+        F.struct(
+            F.col("ordinal"), F.lit(1).alias("k"),
+            F.col("class_id"), F.col("label"), "media_ref",
+        ).alias("s"),
+    ).groupBy("doc_id").agg(F.collect_list("s").alias("t"))
+    docs = media_agg.join(text_agg, "doc_id", "left")
+    empty = F.array().cast(media_agg.schema["m"].dataType.simpleString())
+    ordered = F.array_sort(F.concat(F.col("m"), F.coalesce(F.col("t"), empty)))
     spans = F.transform(
-        F.col("ordered"),
+        ordered,
         lambda s, i: F.struct(
             F.when(s["k"] == 0, "media").otherwise("text").alias("kind"),
             s["label"].alias("text"),
@@ -461,7 +479,23 @@ def build_dataset(
 
     res="auto": data-driven grid resolution, see from_docs."""
     res = _resolve_res(regions, res)
-    tiles = tile_grid(rasters)
+    # Parse the (region, start_year, end_year) join keys from doc_id
+    # BEFORE the ~100× tile fan-out: the regexes run once per RASTER
+    # row instead of once per tile, and build_labels sees the keys
+    # already attached (its "region" in tiles.columns no-op branch).
+    if "region" in rasters.columns:
+        rasters_keyed = rasters
+    else:
+        rasters_keyed = rasters.select(
+            "*", *GF.parse_doc_id(F.col("doc_id"))
+        )
+    # Establish doc partitioning BEFORE the fan-out: one cheap shuffle
+    # of the compact raster rows replaces the post-fan-out shuffle of
+    # every media+label row — tile_grid's Generate chain, the
+    # broadcast join and the clip all preserve hashpartitioning, so
+    # assemble_docs' two aggregations and doc join need no exchange.
+    rasters_keyed = rasters_keyed.repartition(F.col("doc_id"))
+    tiles = tile_grid(rasters_keyed)
     prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
     if broadcast_regions is None:
