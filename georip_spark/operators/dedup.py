@@ -105,13 +105,32 @@ def minhash_signatures_df(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return codes.groupBy("_id").agg(*aggs)
 
 
-def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing ≥1 band bucket.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     Plan shape: scan → explode shingles → partial+final hash agg →
     band keys → explode bands → shuffle on band key (uniform) →
     per-bucket self-pairs → distinct.
+
+    Hot-bucket guard (``bucket_cap``, default off): a band bucket with
+    B members emits O(B²) pairs — a 10⁶-row near-identical boilerplate
+    cluster (routine in a web crawl) makes one straggler task own
+    ~5·10¹¹ rows. With ``bucket_cap=c`` set, buckets larger than c are
+    sub-split on ``id mod ceil(B/c)`` (deterministic, same scheme as
+    similarity.lsh_neardup_pairs) and each row is additionally chained
+    to its successor in id order, so every hot bucket stays CONNECTED
+    through the chain while pair enumeration is capped at
+    O(B·c + B). The pair SET then differs from the uncapped one
+    (cross-sub-bucket non-adjacent pairs are forgone — a disclosed
+    recall trade for downstream component-level dedup, which only
+    needs connectivity); the default ``None`` keeps the exact
+    all-bucket-pairs semantics the q19 oracle verifies.
     """
     rpb = MINHASH_K // BANDS
     sig_df = minhash_signatures_df(df, id_col, text_col)
@@ -120,6 +139,50 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFr
         parts = [F.col(f"h{b * rpb + r}").cast("string") for r in range(rpb)]
         bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
     sigs = sig_df.select("_id", F.explode(F.array(*bands)).alias("band"))
+    if bucket_cap:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band")
+        sigs = sigs.withColumn(
+            "_k",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.count("*").over(wb) / F.lit(bucket_cap)).cast("long"),
+            ),
+        )
+        idl = F.col("_id").cast("long")
+        sigs = sigs.withColumn(
+            "_sub",
+            F.when(F.col("_k") <= 1, F.lit(0).cast("long")).otherwise(
+                F.pmod(
+                    F.coalesce(
+                        idl,
+                        F.raise_error(
+                            f"minhash_candidate_pairs: id_col '{id_col}' must "
+                            "cast to long for the deterministic hot-bucket "
+                            "sub-split"
+                        ).cast("long"),
+                    ),
+                    F.col("_k"),
+                )
+            ),
+        )
+        a = sigs.alias("a")
+        b = sigs.alias("b")
+        joined = (
+            a.join(b, ["band", "_sub"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+        # id-order chain within hot buckets only: keeps the bucket one
+        # component even though the sub-split shattered its cliques
+        nxt = F.lead("_id").over(wb.orderBy("_id"))
+        chain = (
+            sigs.filter(F.col("_k") > 1)
+            .select(F.col("_id").alias("id_a"), nxt.alias("id_b"))
+            .filter(F.col("id_b").isNotNull())
+        )
+        return joined.unionByName(chain).distinct()
     a = sigs.alias("a")
     b = sigs.alias("b")
     pairs = (
@@ -192,7 +255,12 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Dat
 
 
 def neardup_dedup(
-    df: DataFrame, id_col: str, text_col: str, tau: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.6,
+    collapse_exact: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """END-TO-END near-duplicate deduplication — the full composition:
     MinHash-LSH candidates → exact n-gram Jaccard ≥ tau verification →
@@ -210,16 +278,56 @@ def neardup_dedup(
     resolution is O(log diameter) min-label rounds — each one
     edge-join + partial-aggregated min. Duplicate-group diameters are
     tiny in practice (near-dups of a doc are near-dups of each other),
-    so the loop converges in 2-3 rounds."""
+    so the loop converges in 2-3 rounds.
+
+    Exact-duplicate collapse (``collapse_exact``, round 6): BEFORE the
+    LSH, identical texts are collapsed to one representative (min id
+    per md5 fingerprint) and only representatives enter the
+    candidate/verify/components machinery; members then inherit their
+    representative's component. This is RESULT-IDENTICAL for tau ≤ 1
+    — identical texts share every band by construction and verify at
+    jaccard = 1, so in the uncapped graph each fingerprint group is a
+    clique whose quotient graph (one node per group, an edge iff the
+    representatives' texts share a band and pass tau — both facts
+    depend only on the TEXT) has exactly the original components, and
+    min-id labels agree because each representative is its group's
+    min. What it buys: a 10⁶-copy boilerplate cluster — the classic
+    100 TB-crawl degenerate band bucket — becomes ONE row before
+    banding, so the O(B²) bucket self-join never materializes
+    (guide §2.5 hot keys: collapse, don't enumerate). ``bucket_cap``
+    additionally guards hot buckets of NON-identical texts (forwarded
+    to minhash_candidate_pairs; off by default — see its docstring for
+    the recall trade)."""
     from georip_spark.operators.dissolve import connected_components
 
-    cand = minhash_candidate_pairs(df, id_col, text_col)
-    verified = jaccard_pairs(df, id_col, text_col, cand).filter(
+    collapse = collapse_exact and tau <= 1.0
+    if collapse:
+        fp = F.md5(F.col(text_col))
+        groups = df.groupBy(fp.alias("_fp")).agg(F.min(id_col).alias("_rep"))
+        members = df.select(F.col(id_col).alias("_mid"), fp.alias("_fp")).join(
+            groups, "_fp"
+        )
+        reps = df.join(
+            groups.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        )
+    else:
+        reps = df
+
+    cand = minhash_candidate_pairs(reps, id_col, text_col, bucket_cap=bucket_cap)
+    verified = jaccard_pairs(reps, id_col, text_col, cand).filter(
         F.col("jaccard") >= tau
     )
     pairs = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    vertices = df.select(F.col(id_col).alias("geom_id"))
+    vertices = reps.select(F.col(id_col).alias("geom_id"))
     comps = connected_components(pairs, vertices)
+    if collapse:
+        return members.join(
+            comps, members["_rep"] == comps["geom_id"]
+        ).select(
+            F.col("_mid").alias(id_col),
+            F.col("component").alias("keeper"),
+            (F.col("_mid") == F.col("component")).alias("is_kept"),
+        )
     return comps.select(
         F.col("geom_id").alias(id_col),
         F.col("component").alias("keeper"),
