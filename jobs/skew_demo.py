@@ -75,15 +75,18 @@ def main() -> None:
     n0, t_worst = run(None, False)    # no AQE skew handling, no salt
     n1, t_salted = run(salt, False)   # engine's explicit salting
     n2, t_aqe = run(None, True)       # Spark AQE skew-join
+    n3, t_auto = run("auto", False)   # histogram-driven auto salting
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    assert n0 == n1 == n2, (n0, n1, n2)
+    assert n0 == n1 == n2 == n3, (n0, n1, n2, n3)
     print(json.dumps({
         "n_probe": n_probe, "n_build": n_build, "matches": n0,
         "unsalted_no_aqe_sec": round(t_worst, 2),
         f"salted_{salt}_no_aqe_sec": round(t_salted, 2),
         "unsalted_aqe_skewjoin_sec": round(t_aqe, 2),
+        "auto_salt_no_aqe_sec": round(t_auto, 2),
         "salting_speedup": round(t_worst / t_salted, 2),
         "aqe_speedup": round(t_worst / t_aqe, 2),
+        "auto_salt_speedup": round(t_worst / t_auto, 2),
     }))
 
 

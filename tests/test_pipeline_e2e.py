@@ -120,6 +120,61 @@ def test_salted_join_same_result(spark, tiny, engine_out):
     )
 
 
+def test_auto_salted_join_same_result(spark, tiny, engine_out):
+    """salt="auto" (histogram-driven per-key salting) must be a pure
+    execution-strategy change: identical spans, whichever keys it
+    decides to salt (on the tiny fixture the hot-key floor usually
+    means none — both branches are exercised by jobs/skew_demo.py)."""
+    rasters, regions = tiny
+    auto = build_dataset(
+        rasters, regions, salt="auto", broadcast_regions=False
+    )
+    assert spans_from_engine(auto["docs_out"]) == spans_from_engine(
+        engine_out["docs_out"]
+    )
+
+
+def test_auto_salt_hot_key_parity(spark):
+    """Force the auto-salt hot branch (one cell owning every build
+    row, count over the 64-row floor) and check pair-level parity
+    with the unsalted join."""
+    from pyspark.sql import functions as F
+    from georip_spark.operators.joins import (
+        prepare_regions, spatial_join_tiles_regions,
+    )
+
+    probe = spark.range(500).select(
+        F.col("id").cast("string").alias("media_ref"),
+        (F.pmod(F.col("id") * 7919, 900) + 10.0).alias("minx"),
+        (F.pmod(F.col("id") * 104729, 900) + 10.0).alias("miny"),
+    ).withColumn("maxx", F.col("minx") + 2.0).withColumn("maxy", F.col("miny") + 2.0)
+    build = spark.range(80).select(
+        F.col("id").alias("poly_id"),
+        (F.pmod(F.col("id") * 613, 800) + 5.0).alias("gx"),
+        (F.pmod(F.col("id") * 389, 800) + 5.0).alias("gy"),
+    ).select(
+        "poly_id",
+        F.format_string(
+            "POLYGON ((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))",
+            F.col("gx"), F.col("gy"), F.col("gx") + 40.0, F.col("gy"),
+            F.col("gx") + 40.0, F.col("gy") + 40.0, F.col("gx"), F.col("gy") + 40.0,
+            F.col("gx"), F.col("gy"),
+        ).alias("geometry"),
+    )
+    prepared = prepare_regions(build, res=10)
+
+    def pairs(salt):
+        j = spatial_join_tiles_regions(
+            probe, prepared, res=10, how="inner", on_years=False,
+            clip=True, refine=False, salt=salt,
+        )
+        return sorted(
+            (r["media_ref"], r["poly_id"], r["clipped"]) for r in j.collect()
+        )
+
+    assert pairs("auto") == pairs(None)
+
+
 def test_broadcast_join_same_result(spark, tiny, engine_out):
     rasters, regions = tiny
     bc = build_dataset(rasters, regions, broadcast_regions=True)
