@@ -556,10 +556,16 @@ def q15_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", F.round(dot, 4).alias("score"))
     )
+    # pre-shrink BEFORE the rank window (round 6): orderBy().limit(20)
+    # plans as TakeOrderedAndProject — each partition keeps its local
+    # top-20 and only those reach the driver-side merge — where the
+    # old global row_number() window funneled EVERY scored row through
+    # one partition. (score desc, vec_id) is a total order (vec_id
+    # unique), so the kept rows and their ranks are identical.
+    top = scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(20)
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "vec_id", "score")
         .orderBy("rank")
     )

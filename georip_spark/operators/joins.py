@@ -191,6 +191,13 @@ def spatial_join_tiles_regions(
     )
 
     join_keys = keys + ["cell"]
+    # probe-row hash for salting: media_ref when the caller shuffles
+    # it; otherwise the tile bbox (any deterministic diverse value
+    # works — salt only routes rows, never changes results)
+    _salt_hash_cols = (
+        ["media_ref"] if "media_ref" in tiles.columns
+        else ["minx", "miny", "maxx", "maxy"]
+    )
     if salt == "auto" and not broadcast_regions:
         # Data-driven per-key salting (round 6, VERDICT r5 #4): sample
         # the build side's join-key histogram — two cheap dim-side
@@ -240,7 +247,7 @@ def spatial_join_tiles_regions(
                 .withColumn(
                     "_salt",
                     F.when(F.col("_k").isNull(), F.lit(0)).otherwise(
-                        F.pmod(F.xxhash64("media_ref"), F.col("_k").cast("long")).cast("int")
+                        F.pmod(F.xxhash64(*_salt_hash_cols), F.col("_k").cast("long")).cast("int")
                     ),
                 )
                 .drop("_k")
@@ -251,7 +258,7 @@ def spatial_join_tiles_regions(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
         probe = probe.withColumn(
-            "_salt", F.pmod(F.xxhash64("media_ref"), F.lit(salt)).cast("int")
+            "_salt", F.pmod(F.xxhash64(*_salt_hash_cols), F.lit(salt)).cast("int")
         )
         join_keys = join_keys + ["_salt"]
 

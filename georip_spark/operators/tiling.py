@@ -31,14 +31,22 @@ from georip_spark import functions as GF
 from georip_spark.geo import affine
 
 
-def tile_grid(rasters: DataFrame, with_footprint: bool = True) -> DataFrame:
+def tile_grid(
+    rasters: DataFrame, with_footprint: bool = True,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """rasters(doc_id,width,height,tile_size,stride,transform,…) →
     one row per tile with pixel window, ordinal, media_ref and
     (optionally) CRS-space footprint bbox.
 
     Output columns: doc_id, tile_row, tile_col, tile_w, tile_h,
-    ordinal, media_ref [, minx, miny, maxx, maxy].
-    """
+    ordinal, media_ref [, minx, miny, maxx, maxy] [, *keep].
+
+    ``keep``: extra input columns carried through the fan-out —
+    build_dataset passes its pre-parsed (region, start_year, end_year)
+    join keys so build_labels never re-derives them per TILE row
+    (guide §1.2 per-task work: the doc_id regex+split ran ~100× per
+    raster in the fan-out stage, round-6 profile)."""
     # Fan out under-parallel inputs BEFORE the ×100 tile explode: a
     # single-file parquet scan is ONE partition, and the entire
     # fan-out (plus everything downstream until the next shuffle)
@@ -73,6 +81,7 @@ def tile_grid(rasters: DataFrame, with_footprint: bool = True) -> DataFrame:
         GF.tile_media_ref(F.col("doc_id"), F.col("tile_row"), F.col("tile_col")).alias("media_ref"),
         "transform",
         "tile_size",
+        *keep,
     )
     if with_footprint:
         df = with_footprint_bbox(df)

@@ -67,9 +67,16 @@ def tiles_from_docs(docs: DataFrame, rasters: DataFrame) -> DataFrame:
     meta = rasters.select(
         "doc_id", "width", "height", "tile_size", "stride", "transform"
     )
-    d = docs.join(meta, "doc_id")
+    # parse the (region, start_year, end_year) join keys ONCE per doc
+    # row, BEFORE the media-span fan-out — build_labels then skips its
+    # per-tile parse branch (3 regex/split evals per span otherwise;
+    # guide §1.2 per-task work in the hottest stage)
+    d = docs.join(meta, "doc_id").select(
+        "*", *GF.parse_doc_id(F.col("doc_id"))
+    )
     m = d.select(
         "doc_id", "width", "height", "tile_size", "stride", "transform",
+        "region", "start_year", "end_year",
         F.explode("spans").alias("span"),
     ).filter(F.col("span.kind") == "media")
     tile_row = F.regexp_extract(F.col("span.media_ref"), _TILE_REF_RE, 1).cast("int")
@@ -86,6 +93,7 @@ def tiles_from_docs(docs: DataFrame, rasters: DataFrame) -> DataFrame:
         F.col("span.media_ref").alias("media_ref"),
         "transform",
         "tile_size",
+        "region", "start_year", "end_year",
     )
     return with_footprint_bbox(tiles).drop("transform")
 
@@ -242,6 +250,7 @@ def build_labels(
     rect_fast: bool = True,
     general_jvm: bool = True,
     any_holed: bool | None = None,
+    derive_tile_refs: bool = False,
 ) -> DataFrame:
     """Matched (tile × region) pairs → one label row per kept
     annotation: class encoded, geometry clipped to the tile and
@@ -251,7 +260,23 @@ def build_labels(
     any_holed=None probes the dim (one limit-1 job) for holed valid
     geometries to pick the clip plan; a caller that knows its dim
     (bench loops, production jobs with a stable dim) passes True/False
-    to skip the probe — same hoisting contract as broadcast_regions."""
+    to skip the probe — same hoisting contract as broadcast_regions.
+
+    derive_tile_refs (guide §2.3 "shuffle fewer bytes", round 6): the
+    caller asserts media_ref == tile_media_ref(doc_id, tile_row,
+    tile_col) for every tile (true by construction for tile_grid
+    output). In the NON-broadcast regime both join sides shuffle, and
+    the two id strings are ~85 B/row of the probe exchange — the
+    round-6 pinned 1→4 profile put the probe map stage (fan-out +
+    serialize + compress + write) at wall 62s→53s, the pipeline's one
+    non-scaling stage. With the flag, doc_id ships as a null `_doc0`
+    whenever it equals build_doc_id(region, start_year, end_year)
+    (checked per row BEFORE the exchange; non-canonical ids are
+    carried verbatim, so the rewrite is exact for EVERY input), and
+    media_ref is not shuffled at all; both are reconstructed from the
+    join keys after the join. Broadcast joins skip the rewrite — there
+    is no probe exchange to slim, and reconstruction would run per
+    MATCHED row (~2.6× per tile)."""
     # derive (region, start_year, end_year) join keys from doc_id —
     # the reference's filename-parse matching law (F2/J1); no-op if the
     # caller already attached them
@@ -259,6 +284,16 @@ def build_labels(
         tiles_keyed = tiles
     else:
         tiles_keyed = tiles.select("*", *GF.parse_doc_id(F.col("doc_id")))
+    derive = bool(derive_tile_refs) and not broadcast_regions
+    if derive:
+        rebuild = GF.build_doc_id(
+            F.col("region"), F.col("start_year"), F.col("end_year")
+        )
+        tiles_keyed = tiles_keyed.withColumn(
+            "_doc0",
+            F.when(F.col("doc_id") == rebuild, F.lit(None).cast("string"))
+            .otherwise(F.col("doc_id")),
+        ).drop("doc_id", "media_ref")
     # Plan probe BEFORE the join (dim-side, one cheap limit-1 job):
     # holed geometries need the hole-aware clip (jvm_clip.…_mp, which
     # wants the full nested ring arrays), hole-free ones the cheaper
@@ -310,6 +345,25 @@ def build_labels(
         keep_region_bbox=rect_fast,
         exclude_carry=exclude,
     )
+    if derive:
+        # reconstruct the two id strings from the join keys — exact:
+        # canonical rows (null _doc0) rebuild the identical doc_id,
+        # non-canonical rows carried theirs; media_ref is the caller-
+        # asserted tile_media_ref construction either way
+        joined = joined.withColumn(
+            "doc_id",
+            F.coalesce(
+                F.col("_doc0"),
+                GF.build_doc_id(
+                    F.col("region"), F.col("start_year"), F.col("end_year")
+                ),
+            ),
+        ).withColumn(
+            "media_ref",
+            GF.tile_media_ref(
+                F.col("doc_id"), F.col("tile_row"), F.col("tile_col")
+            ),
+        ).drop("_doc0")
     # class filter (P4) before the expensive clip UDF
     joined = joined.join(F.broadcast(classes), "class_name", "inner")
     # invalid/empty geometry → Background (−1) per encode_classes
@@ -495,7 +549,13 @@ def build_dataset(
     # broadcast join and the clip all preserve hashpartitioning, so
     # assemble_docs' two aggregations and doc join need no exchange.
     rasters_keyed = rasters_keyed.repartition(F.col("doc_id"))
-    tiles = tile_grid(rasters_keyed)
+    # keep= carries the keys through the fan-out select, so the parse
+    # really does run once per raster — without it build_labels hits
+    # its "region not in columns" branch and re-parses per TILE row
+    # (3 regex/split evals × ~100 tiles/doc in the hot fan-out stage)
+    tiles = tile_grid(
+        rasters_keyed, keep=("region", "start_year", "end_year")
+    )
     prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
     if broadcast_regions is None:
@@ -503,6 +563,7 @@ def build_dataset(
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
         broadcast_regions=broadcast_regions, any_holed=any_holed,
+        derive_tile_refs=True,
     )
     docs_out = assemble_docs(tiles, labels)
     return {
