@@ -32,6 +32,25 @@ from georip_spark.operators.tiling import tile_grid, with_footprint_bbox
 
 DEFAULT_CLASSES = ("Treatment", "Background")
 
+# Pipeline grid resolution (round 6, guide §2.3): the probe side
+# replicates each tile into its cover cells BEFORE the join exchange,
+# so cell size directly multiplies the bytes of the one
+# bandwidth-bound stage (the pinned 1→4 profile's flagged probe map
+# stage). Deterministic row counts at 64k docs across res 6–12
+# (OPTIMIZATION_r06.md table): res 10 → 29.0M probe rows / 5.6M
+# pre-filter candidates; res 8 → 8.25M / 8.39M; res 6 → 5.6M / 10.9M.
+# A probe row costs serialize+compress+write+read (~2 orders more
+# than a candidate row's bbox-prefilter compare), and the TRUE
+# clip-row set is res-invariant, so res 8 trades a 3.5× cut of the
+# expensive rows for a 1.5× rise of the cheap ones; below 8 the probe
+# count flattens into the tile-count floor while candidates keep
+# growing. Join-key density stays bounded at any res because the
+# (region, start_year, end_year) keys shard every cell — no global
+# hot key. Results are identical at any res (cells only generate
+# candidates; the clip decides) — verified by the span-count
+# equality assertion in the sweep and the e2e suite.
+PIPELINE_RES = 8
+
 _TILE_REF_RE = r"_tile_([0-9]+)_([0-9]+)$"
 
 
@@ -102,7 +121,7 @@ def from_docs(
     docs: DataFrame,
     rasters: DataFrame,
     regions: DataFrame,
-    res: int | str = DEFAULT_RES,
+    res: int | str = PIPELINE_RES,
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
@@ -321,7 +340,35 @@ def build_labels(
                 ),
             ),
         )
-    exclude = ("geometry",) if (rect_fast and general_jvm) else ()
+    # area / is_empty / geom_id are never read after the join on this
+    # path (is_empty already zeroed the cover; class encoding keys on
+    # is_valid; assemble keys on class_id/label) — shed them dim-side
+    # so neither the build exchange nor the per-partition hash
+    # relation carries them (guide §2.3; the r5 attribution charges
+    # this host's non-scaling exactly to hash-relation alloc churn)
+    _dead = ("area", "is_empty", "geom_id", "is_valid", "class_name")
+    exclude = (
+        ("geometry", *_dead) if (rect_fast and general_jvm) else _dead
+    )
+    # Class + validity filter moved to the DIM side (guide §2.3
+    # "aggregate/filter before you shuffle", round 6): every label row
+    # ultimately passes class_id >= 0 — i.e. the region is valid AND
+    # its class maps to a non-Background id — so regions failing
+    # either test (out-of-set classes, Background, invalid/bowtie
+    # geometries: ~35-40% of the synth dim) can be dropped BEFORE the
+    # cover explode instead of riding the exchange/broadcast and the
+    # candidate stream only to be filtered after the join. class_id is
+    # attached dim-side by the same broadcast class join, so the
+    # post-join class join disappears too. Result-identical: the
+    # dropped rows are exactly those the old
+    # `when(~is_valid, -1)` + `filter(class_id >= 0)` pair removed.
+    pos_classes = classes.filter(F.col("class_id") >= 0)
+    regions_prepared = (
+        regions_prepared.join(F.broadcast(pos_classes), "class_name", "inner")
+        # null-tolerant mirror of the old `when(~is_valid, -1)` +
+        # `>= 0` pair: it kept rows whose is_valid was true OR null
+        .filter(F.col("is_valid").isNull() | F.col("is_valid"))
+    )
     if rect_fast and general_jvm:
         # canonical rectangles never read their shell array (the
         # closed-form rect path wins the CASE) — null it dim-side so
@@ -364,15 +411,11 @@ def build_labels(
                 F.col("doc_id"), F.col("tile_row"), F.col("tile_col")
             ),
         ).drop("_doc0")
-    # class filter (P4) before the expensive clip UDF
-    joined = joined.join(F.broadcast(classes), "class_name", "inner")
-    # invalid/empty geometry → Background (−1) per encode_classes
-    # (georip/datasets/utils.py:357-371)
-    joined = joined.withColumn(
-        "class_id",
-        F.when(~F.col("is_valid"), F.lit(-1)).otherwise(F.col("class_id")),
-    )
-    labeled = joined.filter(F.col("class_id") >= 0)
+    # class filter (P4) and invalid→Background(−1) encoding
+    # (georip/datasets/utils.py:357-371) both moved DIM-side above:
+    # class_id arrives attached and every joined row already satisfies
+    # class_id >= 0 with a valid geometry
+    labeled = joined
     kernel_coords = geom_udfs.clip_and_normalize(
         F.col("geometry"), F.col("minx"), F.col("miny"),
         F.col("maxx"), F.col("maxy"),
@@ -516,7 +559,7 @@ def assemble_docs(tiles: DataFrame, labels: DataFrame) -> DataFrame:
 def build_dataset(
     rasters: DataFrame,
     regions: DataFrame,
-    res: int | str = DEFAULT_RES,
+    res: int | str = PIPELINE_RES,
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,

@@ -58,6 +58,22 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "64",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromConstraints rewrites join-key not-null checks by
+    # substituting each alias's DEFINITION: for the pipeline's probe
+    # side the inferred `isnotnull(minx…maxy)` filters inline the full
+    # 4-corner affine footprint trees (and the cover/cell math above
+    # them) into a monster Filter evaluated per fanned-out row.
+    # Measured on the 64k-doc shuffle-regime join at pinned local[4]
+    # (round 6, OPTIMIZATION_r06.md): 42.1s → 13.9s wall from this
+    # exclusion alone — the filter's re-evaluated expression trees
+    # were ~3× the entire remaining pipeline. Excluding an OPTIMIZER
+    # rule cannot change results (plans stay semantically equal); the
+    # only thing lost is early null-key pruning, which this engine's
+    # data paths never rely on (null join keys simply fail the hash
+    # lookup one operator later). Verified no regression on any bench
+    # query; oracle green.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
 }
 
 
