@@ -32,24 +32,30 @@ from georip_spark.operators.tiling import tile_grid, with_footprint_bbox
 
 DEFAULT_CLASSES = ("Treatment", "Background")
 
-# Pipeline grid resolution (round 6, guide §2.3): the probe side
-# replicates each tile into its cover cells BEFORE the join exchange,
-# so cell size directly multiplies the bytes of the one
-# bandwidth-bound stage (the pinned 1→4 profile's flagged probe map
-# stage). Deterministic row counts at 64k docs across res 6–12
-# (OPTIMIZATION_r06.md table): res 10 → 29.0M probe rows / 5.6M
-# pre-filter candidates; res 8 → 8.25M / 8.39M; res 6 → 5.6M / 10.9M.
-# A probe row costs serialize+compress+write+read (~2 orders more
-# than a candidate row's bbox-prefilter compare), and the TRUE
-# clip-row set is res-invariant, so res 8 trades a 3.5× cut of the
-# expensive rows for a 1.5× rise of the cheap ones; below 8 the probe
-# count flattens into the tile-count floor while candidates keep
-# growing. Join-key density stays bounded at any res because the
+# Pipeline grid resolution (round 6, guide §2.3) — REGIME-ADAPTIVE.
+# The probe side replicates each tile into its cover cells; what that
+# costs depends on whether the join shuffles:
+# - SHUFFLE regime (dim too big to broadcast): every probe row is
+#   serialized+compressed+written+read across the exchange, so cover
+#   fan-out multiplies the one bandwidth-bound stage. Deterministic
+#   counts at 64k docs (OPTIMIZATION_r06.md table): res 10 → 29.0M
+#   probe rows / 5.6M pre-filter candidates; res 8 → 8.25M / 8.39M;
+#   res 6 → 5.6M / 10.9M. res 8 trades a 3.5× cut of the expensive
+#   rows for a 1.5× rise of cheap bbox-prefilter compares (the TRUE
+#   clip-row set is res-invariant). Measured pinned local[4]: the
+#   probe map stage 52.7s → (with the other round-6 cuts) scales
+#   again.
+# - BROADCAST regime: probe rows never cross an exchange — fan-out
+#   costs only a hash probe each, while coarser cells mean fatter
+#   build buckets and +50% candidate compares. Interleaved A/B at
+#   40k docs broadcast (3 rounds): res 10 min 9.5s / res 8 min 11.4s.
+# Join-key density stays bounded at any res because the
 # (region, start_year, end_year) keys shard every cell — no global
 # hot key. Results are identical at any res (cells only generate
-# candidates; the clip decides) — verified by the span-count
-# equality assertion in the sweep and the e2e suite.
-PIPELINE_RES = 8
+# candidates; the clip decides) — span-count equality asserted in the
+# sweeps, e2e suite + oracle green at both values.
+PIPELINE_RES_BROADCAST = 10
+PIPELINE_RES_SHUFFLE = 8
 
 _TILE_REF_RE = r"_tile_([0-9]+)_([0-9]+)$"
 
@@ -121,7 +127,7 @@ def from_docs(
     docs: DataFrame,
     rasters: DataFrame,
     regions: DataFrame,
-    res: int | str = PIPELINE_RES,
+    res: int | str | None = None,
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
@@ -141,13 +147,19 @@ def from_docs(
     remaining magic constant a 100× geometry-size shift would
     invalidate. The final output is res-invariant (cells only
     generate candidates; clip decides), so correctness is unchanged —
-    res tunes candidate fan-out, not results."""
+    res tunes candidate fan-out, not results. res=None picks the
+    regime-adaptive default (see PIPELINE_RES_* above)."""
+    if broadcast_regions is None:
+        broadcast_regions = regions.count() <= 500_000
+    if res is None:
+        res = (
+            PIPELINE_RES_BROADCAST if broadcast_regions
+            else PIPELINE_RES_SHUFFLE
+        )
     res = _resolve_res(regions, res)
     tiles = tiles_from_docs(docs, rasters)
     prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
-    if broadcast_regions is None:
-        broadcast_regions = regions.count() <= 500_000
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
         broadcast_regions=broadcast_regions, any_holed=any_holed,
@@ -559,7 +571,7 @@ def assemble_docs(tiles: DataFrame, labels: DataFrame) -> DataFrame:
 def build_dataset(
     rasters: DataFrame,
     regions: DataFrame,
-    res: int | str = PIPELINE_RES,
+    res: int | str | None = None,
     keep_classes=DEFAULT_CLASSES,
     salt: int | None = None,
     broadcast_regions: bool | None = None,
@@ -574,7 +586,15 @@ def build_dataset(
     made from real cardinality — broadcast under 500k regions
     (~100-250 MB hash relation), sort-merge + AQE skew join above.
 
-    res="auto": data-driven grid resolution, see from_docs."""
+    res="auto": data-driven grid resolution; res=None (default) is
+    regime-adaptive — see PIPELINE_RES_* and from_docs."""
+    if broadcast_regions is None:
+        broadcast_regions = regions.count() <= 500_000
+    if res is None:
+        res = (
+            PIPELINE_RES_BROADCAST if broadcast_regions
+            else PIPELINE_RES_SHUFFLE
+        )
     res = _resolve_res(regions, res)
     # Parse the (region, start_year, end_year) join keys from doc_id
     # BEFORE the ~100× tile fan-out: the regexes run once per RASTER
@@ -601,8 +621,6 @@ def build_dataset(
     )
     prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
-    if broadcast_regions is None:
-        broadcast_regions = regions.count() <= 500_000
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
         broadcast_regions=broadcast_regions, any_holed=any_holed,
