@@ -158,8 +158,16 @@ def from_docs(
         )
     res = _resolve_res(regions, res)
     tiles = tiles_from_docs(docs, rasters)
-    prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
+    # class pre-filter BEFORE the stats parse: dropped classes
+    # (Background, out-of-set — ~38% of the synth dim) never pay the
+    # per-row WKT parse, the fattest dim-side stage (round-6 pinned
+    # profile). Result-identical: build_labels dropped them anyway.
+    regions_f = regions.join(
+        F.broadcast(classes.filter(F.col("class_id") >= 0)),
+        "class_name", "inner",
+    )
+    prepared = prepare_regions(regions_f, res=res)
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
         broadcast_regions=broadcast_regions, any_holed=any_holed,
@@ -374,12 +382,19 @@ def build_labels(
     # post-join class join disappears too. Result-identical: the
     # dropped rows are exactly those the old
     # `when(~is_valid, -1)` + `filter(class_id >= 0)` pair removed.
-    pos_classes = classes.filter(F.col("class_id") >= 0)
+    # (build_dataset/from_docs attach class_id BEFORE prepare_regions
+    # so the dropped rows never pay the WKT stats parse either — the
+    # dim prep was ~10s of the pinned 4-core profile; skip the join
+    # here when it already happened upstream)
+    if "class_id" not in regions_prepared.columns:
+        pos_classes = classes.filter(F.col("class_id") >= 0)
+        regions_prepared = regions_prepared.join(
+            F.broadcast(pos_classes), "class_name", "inner"
+        )
     regions_prepared = (
-        regions_prepared.join(F.broadcast(pos_classes), "class_name", "inner")
         # null-tolerant mirror of the old `when(~is_valid, -1)` +
         # `>= 0` pair: it kept rows whose is_valid was true OR null
-        .filter(F.col("is_valid").isNull() | F.col("is_valid"))
+        regions_prepared.filter(F.col("is_valid").isNull() | F.col("is_valid"))
     )
     if rect_fast and general_jvm:
         # canonical rectangles never read their shell array (the
@@ -619,8 +634,13 @@ def build_dataset(
     tiles = tile_grid(
         rasters_keyed, keep=("region", "start_year", "end_year")
     )
-    prepared = prepare_regions(regions, res=res)
     classes = class_map(regions, keep_classes)
+    # class pre-filter before the WKT stats parse — see from_docs
+    regions_f = regions.join(
+        F.broadcast(classes.filter(F.col("class_id") >= 0)),
+        "class_name", "inner",
+    )
+    prepared = prepare_regions(regions_f, res=res)
     labels = build_labels(
         tiles, prepared, classes, res=res, salt=salt,
         broadcast_regions=broadcast_regions, any_holed=any_holed,
