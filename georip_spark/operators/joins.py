@@ -682,8 +682,17 @@ def knn_join(
     rx, ry = (F.col(c) for c in right_xy)
 
     right = right.drop(*[c for c in left.columns if c in right.columns])
-    n_right = right.count()
-    n_left = left.count()
+    # both cardinalities in ONE job (guide §1.5/§2.6 — the two counts
+    # were two sequential driver round-trips; a union of 1-column
+    # projections scans both sides inside one job, and column pruning
+    # keeps each scan metadata-thin)
+    _counts = dict(
+        left.select(F.lit(0).alias("_s"))
+        .unionAll(right.select(F.lit(1).alias("_s")))
+        .groupBy("_s").count().collect()
+    )
+    n_left = int(_counts.get(0, 0))
+    n_right = int(_counts.get(1, 0))
 
     # Dimension-sized corpus: broadcast it and solve exactly in ONE
     # Arrow stage instead of the multi-pass ladder (guide §3.1 — the
